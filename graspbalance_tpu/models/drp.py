@@ -1,0 +1,183 @@
+"""DRP backbone (Dense-Residual-Pyramid) — the live feature extractor.
+
+TPU rebuild of TrainModel/drp.py:150-308: four set-abstraction stages
+(npoint 2048/1024/512/256, radius .04/.1/.2/.3, nsample 64/32/16/16) each
+followed by 3/6/3/3 inverted-residual MLP blocks (PointNeXt-style: ball-query
+local aggregation + pointwise expansion MLP, expansion 4), then two feature-
+propagation stages back to the 1024-point seed level.
+
+TPU-first deviations (semantics-preserving):
+* One FPS pass: greedy FPS re-traces itself on its own output, so the four
+  per-stage FPS calls of the reference are prefixes of a single 2048-point
+  FPS (verified in tests/test_ops.py::TestFPS::test_prefix_property). The
+  stages just slice. This also makes the reference's seed-index bookkeeping
+  (fp2_inds = sa1_inds[:, :1024], drp.py:306) exact rather than approximate.
+* The data pipeline may supply the 2048 FPS indices (`sa_inds`) so the
+  training step contains no sequential sampling at all.
+* Channels-last; every 1x1 conv is a Dense on the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from graspbalance_tpu import ops
+from graspbalance_tpu.nn.layers import MLPBlock, SharedMLP
+from graspbalance_tpu.nn.sa_fp import SetAbstraction, FeaturePropagation
+
+
+class LocalAggregation(nn.Module):
+    """Ball-query neighborhood aggregation (TrainModel/drp.py:32-67).
+
+    feature_type 'dp_fj': concat relative xyz (3) with neighbor features,
+    one conv block (with BN+ReLU, the reference's last_act=True default),
+    max-pool over neighbors.
+    """
+
+    channels: int
+    radius: float
+    nsample: int
+    query_order: str = "index"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xyz, feats, *, train: bool, bn_momentum=0.1):
+        idx = ops.ball_query(
+            xyz, xyz, self.radius, self.nsample, order=self.query_order
+        )
+        dp = ops.group_points(xyz, idx) - xyz[:, :, None, :]  # (B,N,K,3)
+        fj = ops.group_points(feats, idx)  # (B,N,K,C)
+        grouped = jnp.concatenate([dp.astype(fj.dtype), fj], axis=-1)
+        out = MLPBlock(self.channels, dtype=self.dtype, name="conv")(
+            grouped, train=train, bn_momentum=bn_momentum
+        )
+        return jnp.max(out, axis=2)
+
+
+class InvResMLP(nn.Module):
+    """Inverted-residual point block (TrainModel/drp.py:70-117).
+
+    LocalAggregation -> pointwise [C -> 4C (BN+ReLU) -> C (BN)] -> +residual
+    -> ReLU.
+    """
+
+    channels: int
+    radius: float
+    nsample: int
+    expansion: int = 4
+    query_order: str = "index"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xyz, feats, *, train: bool, bn_momentum=0.1):
+        identity = feats
+        f = LocalAggregation(
+            self.channels,
+            self.radius,
+            self.nsample,
+            query_order=self.query_order,
+            dtype=self.dtype,
+            name="local_agg",
+        )(xyz, feats, train=train, bn_momentum=bn_momentum)
+        f = MLPBlock(
+            self.channels * self.expansion, dtype=self.dtype, name="pw1"
+        )(f, train=train, bn_momentum=bn_momentum)
+        f = MLPBlock(self.channels, act=False, dtype=self.dtype, name="pw2")(
+            f, train=train, bn_momentum=bn_momentum
+        )
+        return nn.relu(f + identity)
+
+
+# (npoint, sa_radius, sa_nsample, mlp, n_blocks, block_radius, block_nsample)
+DRP_STAGES = (
+    (2048, 0.04, 64, (64, 64, 128), 3, 0.08, 64),
+    (1024, 0.10, 32, (128, 128, 256), 6, 0.20, 32),
+    (512, 0.20, 16, (128, 128, 256), 3, 0.40, 16),
+    (256, 0.30, 16, (128, 128, 256), 3, 0.60, 16),
+)
+
+
+class DRP(nn.Module):
+    """Stage table from TrainModel/drp.py:161-259; returns a dict of
+    per-stage xyz/features plus the 1024-point seed level (fp2_*)."""
+
+    stages: tuple = DRP_STAGES
+    num_seed: int = 1024
+    query_order: str = "index"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        pointcloud,
+        *,
+        sa_inds=None,
+        train: bool = False,
+        bn_momentum=0.1,
+    ):
+        """pointcloud (B, N, 3+F). sa_inds: optional (B, 2048) precomputed
+        FPS indices of the full cloud (prefix-sliced for all stages).
+
+        Returns dict with input_xyz, sa{1..4}_{xyz,features}, sa1_inds,
+        fp2_features (B,1024,256), fp2_xyz (B,1024,3), fp2_inds (B,1024)."""
+        xyz = pointcloud[..., :3]
+        features = pointcloud[..., 3:] if pointcloud.shape[-1] > 3 else None
+        out = {"input_xyz": xyz, "input_features": features}
+
+        if sa_inds is None:
+            sa_inds = ops.furthest_point_sample(xyz, self.stages[0][0])
+        out["sa1_inds"] = sa_inds
+
+        stage_xyz, stage_feats = [], []
+        cur_xyz, cur_feats = xyz, features
+        for i, (npoint, radius, nsample, mlp, n_blocks, b_radius, b_nsample) in enumerate(
+            self.stages
+        ):
+            # nested-prefix FPS: stage i samples the first `npoint` of the
+            # running FPS ordering (see module docstring).
+            if i == 0:
+                inds = sa_inds
+            else:
+                b = cur_xyz.shape[0]
+                inds = jnp.broadcast_to(
+                    jnp.arange(npoint, dtype=jnp.int32)[None], (b, npoint)
+                )
+            cur_xyz, cur_feats, _ = SetAbstraction(
+                npoint=npoint,
+                radius=radius,
+                nsample=nsample,
+                mlp=mlp,
+                normalize_xyz=True,
+                query_order=self.query_order,
+                dtype=self.dtype,
+                name=f"sa{i + 1}",
+            )(cur_xyz, cur_feats, inds=inds, train=train, bn_momentum=bn_momentum)
+            for j in range(n_blocks):
+                cur_feats = InvResMLP(
+                    channels=mlp[-1],
+                    radius=b_radius,
+                    nsample=b_nsample,
+                    query_order=self.query_order,
+                    dtype=self.dtype,
+                    name=f"block{i + 1}_{j}",
+                )(cur_xyz, cur_feats, train=train, bn_momentum=bn_momentum)
+            out[f"sa{i + 1}_xyz"] = cur_xyz
+            out[f"sa{i + 1}_features"] = cur_feats
+            stage_xyz.append(cur_xyz)
+            stage_feats.append(cur_feats)
+
+        f = FeaturePropagation(mlp=(256, 256), dtype=self.dtype, name="fp1")(
+            stage_xyz[2], stage_xyz[3], stage_feats[2], stage_feats[3],
+            train=train, bn_momentum=bn_momentum,
+        )
+        f = FeaturePropagation(mlp=(256, 256), dtype=self.dtype, name="fp2")(
+            stage_xyz[1], stage_xyz[2], stage_feats[1], f,
+            train=train, bn_momentum=bn_momentum,
+        )
+        out["fp2_features"] = f
+        out["fp2_xyz"] = stage_xyz[1]
+        out["fp2_inds"] = sa_inds[:, : self.num_seed]
+        return out

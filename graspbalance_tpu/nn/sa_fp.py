@@ -1,0 +1,111 @@
+"""Set-abstraction and feature-propagation modules (channels-last).
+
+TPU equivalents of PointnetSAModuleVotes / PointnetFPModule
+(PointNet/pointnet2_modules.py:105-188, 402-435): FPS -> ball query ->
+grouped relative xyz (optionally radius-normalized) concat features ->
+SharedMLP -> max pool; and three_nn -> inverse-distance interpolate ->
+concat skip -> SharedMLP.
+
+The grouped tensor is (B, npoint, nsample, C): nsample on sublanes, C on
+lanes, so the MLP is one big (B*npoint*nsample, C) matmul on the MXU and the
+max-pool is a sublane reduction.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from graspbalance_tpu import ops
+from graspbalance_tpu.nn.layers import SharedMLP
+from graspbalance_tpu.ops.interpolate import (
+    inverse_distance_weights,
+    three_interpolate,
+)
+
+
+class SetAbstraction(nn.Module):
+    """FPS + ball-query grouping + shared MLP + max pool.
+
+    Args mirror PointnetSAModuleVotes (use_xyz=True, pooling='max'); the DRP
+    backbone always sets normalize_xyz=True (TrainModel/drp.py:161-243).
+    """
+
+    npoint: int
+    radius: float
+    nsample: int
+    mlp: Sequence[int]
+    normalize_xyz: bool = True
+    use_xyz: bool = True
+    query_order: str = "index"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        xyz,
+        features=None,
+        *,
+        inds=None,
+        train: bool = False,
+        bn_momentum=0.1,
+    ):
+        """xyz (B,N,3); features (B,N,C) or None; inds optional (B,npoint)
+        precomputed FPS indices (the data pipeline may supply them).
+
+        Returns (new_xyz (B,npoint,3), new_feats (B,npoint,C_out), inds)."""
+        if inds is None:
+            inds = ops.furthest_point_sample(xyz, self.npoint)
+        new_xyz = ops.gather_points(xyz, inds)
+        idx = ops.ball_query(
+            xyz, new_xyz, self.radius, self.nsample, order=self.query_order
+        )
+        grouped_xyz = ops.group_points(xyz, idx) - new_xyz[:, :, None, :]
+        if self.normalize_xyz:
+            grouped_xyz = grouped_xyz / self.radius
+        if features is not None:
+            grouped_feats = ops.group_points(features, idx)
+            grouped = (
+                jnp.concatenate(
+                    [grouped_xyz.astype(grouped_feats.dtype), grouped_feats], axis=-1
+                )
+                if self.use_xyz
+                else grouped_feats
+            )
+        else:
+            grouped = grouped_xyz
+        out = SharedMLP(self.mlp, dtype=self.dtype, name="mlp")(
+            grouped.astype(self.dtype), train=train, bn_momentum=bn_momentum
+        )
+        return new_xyz, jnp.max(out, axis=2), inds
+
+
+class FeaturePropagation(nn.Module):
+    """Inverse-distance 3-NN upsampling + skip concat + shared MLP."""
+
+    mlp: Sequence[int]
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        unknown,
+        known,
+        unknown_feats,
+        known_feats,
+        *,
+        train: bool = False,
+        bn_momentum=0.1,
+    ):
+        """unknown (B,n,3), known (B,m,3), unknown_feats (B,n,C1) or None,
+        known_feats (B,m,C2) -> (B,n,mlp[-1])."""
+        dist, idx = ops.three_nn(unknown, known)
+        weight = inverse_distance_weights(dist)
+        interp = three_interpolate(known_feats, idx, weight)
+        if unknown_feats is not None:
+            interp = jnp.concatenate([interp, unknown_feats], axis=-1)
+        return SharedMLP(self.mlp, dtype=self.dtype, name="mlp")(
+            interp.astype(self.dtype), train=train, bn_momentum=bn_momentum
+        )

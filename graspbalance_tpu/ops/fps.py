@@ -1,0 +1,93 @@
+"""Furthest point sampling (FPS).
+
+Replicates the reference CUDA kernel semantics
+(PointNet/_ext_src/src/sampling_gpu.cu:74-234):
+
+* ``idx[0] = 0`` always (deterministic seed).
+* points with squared norm <= 1e-3 (near-origin padding) are never selected
+  and never update their own min-distance (``skip_origin=True``, variant A).
+  The batch variant (pointnet2_batch/src/sampling_gpu.cu) omits the skip
+  (``skip_origin=False``, variant B).
+* selection is greedy max-min over squared euclidean distance; the running
+  per-point distance buffer is initialised to 1e10.
+
+Greedy FPS re-traces itself on its own output: running FPS(k) on an
+FPS-ordered point set returns the first k points. The DRP backbone exploits
+this (one 2048-point FPS serves all four SA stages as prefixes), matching the
+reference's per-stage FPS calls exactly (TrainModel/drp.py:279-306 relies on
+the same property for its fp2_inds bookkeeping).
+
+Two implementations:
+* ``_fps_xla``     — lax.scan over samples; works on any backend (CPU tests).
+* ``_fps_pallas``  — single fused TPU kernel; the point cloud and the running
+                     distance buffer stay resident in VMEM across the whole
+                     sequential selection loop (a 20k-point cloud is ~240 KB).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_INIT_DIST = 1e10
+_ORIGIN_EPS = 1e-3
+
+
+def _fps_single_xla(pts: jnp.ndarray, num_samples: int, skip_origin: bool) -> jnp.ndarray:
+    """FPS for a single (N, 3) cloud -> (num_samples,) int32."""
+    n = pts.shape[0]
+    if skip_origin:
+        valid = jnp.sum(pts * pts, axis=-1) > _ORIGIN_EPS
+    else:
+        valid = jnp.ones((n,), dtype=bool)
+
+    def body(carry, _):
+        dist, last = carry
+        delta = pts - pts[last]
+        d = jnp.sum(delta * delta, axis=-1)
+        dist = jnp.minimum(dist, d)
+        cand = jnp.where(valid, dist, -1.0)
+        nxt = jnp.argmax(cand).astype(jnp.int32)
+        return (dist, nxt), nxt
+
+    init = (jnp.full((n,), _INIT_DIST, dtype=jnp.float32), jnp.int32(0))
+    _, rest = lax.scan(body, init, None, length=num_samples - 1)
+    return jnp.concatenate([jnp.zeros((1,), jnp.int32), rest])
+
+
+@functools.partial(jax.jit, static_argnames=("num_samples", "skip_origin", "use_pallas"))
+def furthest_point_sample(
+    xyz: jnp.ndarray,
+    num_samples: int,
+    *,
+    skip_origin: bool = True,
+    use_pallas: bool | None = None,
+) -> jnp.ndarray:
+    """Greedy furthest point sampling.
+
+    Args:
+      xyz: (B, N, 3) float point clouds.
+      num_samples: number of points to select (static).
+      skip_origin: exclude near-origin padding points from selection
+        (reference variant A, sampling_gpu.cu:105-106).
+      use_pallas: force/forbid the fused TPU kernel; default auto
+        (pallas on TPU backends, XLA scan elsewhere).
+
+    Returns:
+      (B, num_samples) int32 indices into N. idx[:, 0] == 0.
+    """
+    if xyz.ndim != 3 or xyz.shape[-1] != 3:
+        raise ValueError(f"xyz must be (B, N, 3), got {xyz.shape}")
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from graspbalance_tpu.ops.pallas.fps_kernel import fps_pallas
+
+        return fps_pallas(xyz.astype(jnp.float32), num_samples, skip_origin=skip_origin)
+    fn = functools.partial(
+        _fps_single_xla, num_samples=num_samples, skip_origin=skip_origin
+    )
+    return jax.vmap(fn)(xyz.astype(jnp.float32))

@@ -1,0 +1,75 @@
+"""k-nearest-neighbor ops (brute force, fixed shape).
+
+Replaces the reference KNN CUDA extension (KNN/Pytorch_CUDA_KNN/cuda/knn.cu)
+and the three_nn kernel (PointNet/_ext_src/src/interpolate_gpu.cu:14-73).
+Indices are 0-based (the reference returns 1-based and every call site
+subtracts 1 — label_generation.py:58,84; we delete that dance).
+
+Ties resolve to the lower index, matching the reference kernels' strict-<
+update rules.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _pairwise_d2(query: jnp.ndarray, ref: jnp.ndarray) -> jnp.ndarray:
+    """(Q, C), (R, C) -> (Q, R) squared euclidean distances."""
+    delta = query[:, None, :] - ref[None, :, :]
+    return jnp.sum(delta * delta, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def knn1(
+    ref: jnp.ndarray, query: jnp.ndarray, *, ref_valid: jnp.ndarray | None = None
+) -> jnp.ndarray:
+    """Index of the nearest reference point for each query point.
+
+    Args:
+      ref: (B, R, 3); query: (B, Q, 3); ref_valid: optional (B, R) bool.
+
+    Returns: (B, Q) int32.
+    """
+
+    def single(q, r, v):
+        d2 = _pairwise_d2(q, r)
+        if v is not None:
+            d2 = jnp.where(v[None, :], d2, jnp.inf)
+        return jnp.argmin(d2, axis=-1).astype(jnp.int32)
+
+    if ref_valid is None:
+        return jax.vmap(lambda q, r: single(q, r, None))(query, ref)
+    return jax.vmap(single)(query, ref, ref_valid)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def knn(ref: jnp.ndarray, query: jnp.ndarray, k: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """k nearest reference points per query.
+
+    Returns: (dist, idx) with dist (B, Q, k) euclidean distances (sqrt'd) and
+    idx (B, Q, k) int32, nearest first.
+    """
+
+    def single(q, r):
+        d2 = _pairwise_d2(q, r)
+        neg, idx = lax.top_k(-d2, k)
+        return jnp.sqrt(jnp.maximum(-neg, 0.0)), idx.astype(jnp.int32)
+
+    return jax.vmap(single)(query, ref)
+
+
+def three_nn(unknown: jnp.ndarray, known: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact 3-NN of each `unknown` point among `known` points.
+
+    Mirrors pointnet2 three_nn (+the sqrt applied by its python wrapper,
+    PointNet/pointnet2_utils.py:82-84).
+
+    Args: unknown (B, N, 3); known (B, M, 3).
+    Returns: dist (B, N, 3) euclidean, idx (B, N, 3) int32.
+    """
+    return knn(known, unknown, 3)

@@ -1,0 +1,97 @@
+"""Fused Pallas TPU kernel for furthest point sampling.
+
+FPS is the one truly sequential primitive in the pipeline (m greedy steps,
+each reading the full running min-distance buffer). The XLA scan version pays
+per-step kernel dispatch; this kernel keeps the transposed cloud (3, N) and
+the distance buffer (1, N) resident in VMEM for the whole selection loop —
+one kernel launch per batch, ~240 KB VMEM for a 20k-point cloud.
+
+Semantics match the reference CUDA kernel
+(PointNet/_ext_src/src/sampling_gpu.cu:74-234): idx[0]=0, greedy max-min on
+squared distance, running buffer init 1e10, optional near-origin skip
+(variant A). Ties resolve to the lowest index (first max), which is the
+deterministic re-definition of the reference's thread-order-dependent ties.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_INIT_DIST = 1e10
+_ORIGIN_EPS = 1e-3
+_LANES = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _fps_kernel(xyz_ref, out_ref, *, num_samples: int, n_actual: int, skip_origin: bool):
+    # xyz_ref: (1, 3, Npad) f32; out_ref: (1, num_samples) int32
+    x = xyz_ref[0, 0:1, :]  # (1, Npad)
+    y = xyz_ref[0, 1:2, :]
+    z = xyz_ref[0, 2:3, :]
+    n_pad = x.shape[-1]
+    iota = lax.broadcasted_iota(jnp.int32, (1, n_pad), dimension=1)
+    valid = iota < n_actual
+    if skip_origin:
+        valid = jnp.logical_and(valid, (x * x + y * y + z * z) > _ORIGIN_EPS)
+
+    out_ref[:, 0:1] = jnp.zeros((1, 1), jnp.int32)
+
+    def body(j, carry):
+        dist, lx, ly, lz = carry
+        dx = x - lx
+        dy = y - ly
+        dz = z - lz
+        d = dx * dx + dy * dy + dz * dz
+        dist = jnp.minimum(dist, d)
+        cand = jnp.where(valid, dist, -1.0)
+        mx = jnp.max(cand)
+        # first index attaining the max (deterministic tie-break)
+        best = jnp.min(jnp.where(cand == mx, iota, n_pad)).astype(jnp.int32)
+        out_ref[:, pl.ds(j, 1)] = best.reshape(1, 1)
+        sel = iota == best
+        nlx = jnp.sum(jnp.where(sel, x, 0.0))
+        nly = jnp.sum(jnp.where(sel, y, 0.0))
+        nlz = jnp.sum(jnp.where(sel, z, 0.0))
+        return dist, nlx, nly, nlz
+
+    init = (
+        jnp.full((1, n_pad), _INIT_DIST, jnp.float32),
+        x[0, 0],
+        y[0, 0],
+        z[0, 0],
+    )
+    lax.fori_loop(1, num_samples, body, init)
+
+
+@functools.partial(jax.jit, static_argnames=("num_samples", "skip_origin"))
+def fps_pallas(xyz: jnp.ndarray, num_samples: int, *, skip_origin: bool = True) -> jnp.ndarray:
+    """(B, N, 3) float32 -> (B, num_samples) int32 FPS indices."""
+    b, n, _ = xyz.shape
+    n_pad = _round_up(n, _LANES)
+    xyz_t = jnp.transpose(xyz, (0, 2, 1))  # (B, 3, N)
+    if n_pad != n:
+        xyz_t = jnp.pad(xyz_t, ((0, 0), (0, 0), (0, n_pad - n)))
+    m_pad = _round_up(num_samples, _LANES)
+
+    kernel = functools.partial(
+        _fps_kernel, num_samples=num_samples, n_actual=n, skip_origin=skip_origin
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, 3, n_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec((1, m_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, m_pad), jnp.int32),
+    )(xyz_t)
+    return out[:, :num_samples]

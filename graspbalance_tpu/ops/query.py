@@ -1,0 +1,239 @@
+"""Ball query and cylinder query with reference-exact padding semantics.
+
+The reference CUDA kernels (PointNet/_ext_src/src/ball_query_gpu.cu:9-54,
+cylinder_query_gpu.cu:20-101) scan points in index order and keep the first
+``nsample`` hits; before the first hit every slot holds the first hit's
+index, and a center with zero hits keeps the all-zeros initialisation. The
+neighbor *set* feeds a permutation-invariant max-pool, so order never matters
+downstream, but which-k-of-many does; we reproduce the reference's
+first-k-by-index rule exactly (``order='index'``) and additionally offer
+nearest-k (``order='nearest'``), which costs the same here and tends to give
+slightly better features (flag-gated, off by default for parity).
+
+Implementation: tiled distance computation (centers chunked to bound the
+(chunk, N) intermediate) + ``lax.top_k`` on a composite key. On TPU, top-k
+over the point axis vectorises well and XLA fuses the distance/mask compute
+into its input.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_BIG = jnp.int32(0x3FFFFFFF)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _first_k_by_index(hit: jnp.ndarray, nsample: int) -> jnp.ndarray:
+    """(C, N) bool -> (C, nsample) int32, first-k-hit indices w/ reference padding."""
+    n = hit.shape[-1]
+    iota = lax.broadcasted_iota(jnp.int32, hit.shape, dimension=hit.ndim - 1)
+    key = jnp.where(hit, iota, iota + n)
+    neg_small, _ = lax.top_k(-key, nsample)
+    vals = -neg_small  # ascending smallest keys
+    first_hit = vals[..., 0:1]
+    first_hit = jnp.where(first_hit < n, first_hit, 0)
+    return jnp.where(vals < n, vals, first_hit).astype(jnp.int32)
+
+
+def _nearest_k(hit: jnp.ndarray, d2: jnp.ndarray, nsample: int) -> jnp.ndarray:
+    keyf = jnp.where(hit, d2, jnp.inf)
+    neg_vals, idxs = lax.top_k(-keyf, nsample)
+    is_hit = neg_vals > -jnp.inf
+    first = jnp.where(is_hit[..., 0:1], idxs[..., 0:1], 0)
+    return jnp.where(is_hit, idxs, first).astype(jnp.int32)
+
+
+def _chunked_centers(fn, centers_like, chunk: int):
+    """Run fn over center chunks of a pytree whose leaves lead with the m axis."""
+    m = jax.tree_util.tree_leaves(centers_like)[0].shape[0]
+    m_pad = _round_up(m, chunk)
+    padded = jax.tree_util.tree_map(
+        lambda a: jnp.pad(a, [(0, m_pad - m)] + [(0, 0)] * (a.ndim - 1)), centers_like
+    )
+    reshaped = jax.tree_util.tree_map(
+        lambda a: a.reshape((m_pad // chunk, chunk) + a.shape[1:]), padded
+    )
+    out = lax.map(fn, reshaped)
+    out = jax.tree_util.tree_map(
+        lambda a: a.reshape((m_pad,) + a.shape[2:])[:m], out
+    )
+    return out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nsample", "order", "chunk")
+)
+def ball_query(
+    xyz: jnp.ndarray,
+    centers: jnp.ndarray,
+    radius: float,
+    nsample: int,
+    *,
+    valid: jnp.ndarray | None = None,
+    order: str = "index",
+    chunk: int = 512,
+) -> jnp.ndarray:
+    """Fixed-radius neighbor indices.
+
+    Args:
+      xyz: (B, N, 3) support points.
+      centers: (B, M, 3) query centers.
+      radius: ball radius.
+      nsample: neighbors per center (static).
+      valid: optional (B, N) bool mask; invalid points never match.
+      order: 'index' (reference semantics) or 'nearest'.
+
+    Returns:
+      (B, M, nsample) int32 indices into N.
+    """
+    r2 = jnp.float32(radius * radius)
+
+    def per_batch(args):
+        pts, ctr, vld = args
+
+        def per_chunk(c):
+            delta = c[:, None, :] - pts[None, :, :]
+            d2 = jnp.sum(delta * delta, axis=-1)
+            hit = d2 < r2
+            if vld is not None:
+                hit = jnp.logical_and(hit, vld[None, :])
+            if order == "index":
+                return _first_k_by_index(hit, nsample)
+            return _nearest_k(hit, d2, nsample)
+
+        return _chunked_centers(per_chunk, ctr, chunk)
+
+    if valid is None:
+        vmapped = jax.vmap(lambda p, c: per_batch((p, c, None)))
+        return vmapped(xyz, centers)
+    return jax.vmap(lambda p, c, v: per_batch((p, c, v)))(xyz, centers, valid)
+
+
+def _cyl_hits(pts, ctr, rot, r2, hmin, hmax, vld):
+    """Rotated-frame hit mask for one chunk of centers.
+
+    pts (N,3), ctr (C,3), rot (C,3,3). Reference geometry
+    (cylinder_query_gpu.cu:56-75): p' = R^T (p - c); hit iff
+    y'^2+z'^2 < r^2 and hmin < x' < hmax.
+    """
+    delta = ctr[:, None, :] - pts[None, :, :]  # (C, N, 3) = -(p - c)
+    # p' = R^T (p - c) = -R^T delta; columns of R are the gripper frame axes.
+    xr = -jnp.einsum("cnk,ck->cn", delta, rot[:, :, 0])
+    yr = -jnp.einsum("cnk,ck->cn", delta, rot[:, :, 1])
+    zr = -jnp.einsum("cnk,ck->cn", delta, rot[:, :, 2])
+    d2 = yr * yr + zr * zr
+    hit = (d2 < r2) & (xr > hmin) & (xr < hmax)
+    if vld is not None:
+        hit = jnp.logical_and(hit, vld[None, :])
+    return hit, d2
+
+
+@functools.partial(jax.jit, static_argnames=("nsample", "order", "chunk"))
+def cylinder_query(
+    xyz: jnp.ndarray,
+    centers: jnp.ndarray,
+    rot: jnp.ndarray,
+    radius: float,
+    hmin: float,
+    hmax: float,
+    nsample: int,
+    *,
+    valid: jnp.ndarray | None = None,
+    order: str = "index",
+    chunk: int = 256,
+) -> jnp.ndarray:
+    """Gripper-aligned cylinder neighbor indices.
+
+    Args:
+      xyz: (B, N, 3); centers: (B, M, 3); rot: (B, M, 3, 3) gripper->world.
+
+    Returns: (B, M, nsample) int32.
+    """
+    r2 = jnp.float32(radius * radius)
+
+    def per_batch(pts, ctr, rr, vld):
+        def per_chunk(args):
+            c, rc = args
+            hit, d2 = _cyl_hits(pts, c, rc, r2, hmin, hmax, vld)
+            if order == "index":
+                return _first_k_by_index(hit, nsample)
+            return _nearest_k(hit, d2, nsample)
+
+        return _chunked_centers(per_chunk, (ctr, rr), chunk)
+
+    if valid is None:
+        return jax.vmap(lambda p, c, rr: per_batch(p, c, rr, None))(xyz, centers, rot)
+    return jax.vmap(per_batch)(xyz, centers, rot, valid)
+
+
+@functools.partial(jax.jit, static_argnames=("radii", "hmaxs", "nsample", "order", "chunk"))
+def multi_cylinder_query(
+    xyz: jnp.ndarray,
+    centers: jnp.ndarray,
+    rot: jnp.ndarray,
+    radii: tuple,
+    hmin: float,
+    hmaxs: tuple,
+    nsample: int,
+    *,
+    order: str = "index",
+    chunk: int = 256,
+) -> jnp.ndarray:
+    """All (radius, hmax) cylinder queries in one pass over the cloud.
+
+    The reference grasp head launches len(radii)*len(hmaxs)=16 independent
+    cylinder_query kernels per forward (TrainModel/graspbalance.py:104-107,
+    modules.py:104-111), each recomputing the same rotated coordinates. Here
+    the rotation/distance work is done once per center chunk and reused for
+    all 16 masks.
+
+    Returns: (B, len(radii), len(hmaxs), M, nsample) int32.
+    """
+
+    def per_batch(pts, ctr, rr):
+        def per_chunk(args):
+            c, rc = args
+            delta = c[:, None, :] - pts[None, :, :]
+            xr = -jnp.einsum("cnk,ck->cn", delta, rc[:, :, 0])
+            yr = -jnp.einsum("cnk,ck->cn", delta, rc[:, :, 1])
+            zr = -jnp.einsum("cnk,ck->cn", delta, rc[:, :, 2])
+            d2 = yr * yr + zr * zr
+            outs = []
+            for radius in radii:
+                row = []
+                for hmax in hmaxs:
+                    hit = (d2 < radius * radius) & (xr > hmin) & (xr < hmax)
+                    if order == "index":
+                        row.append(_first_k_by_index(hit, nsample))
+                    else:
+                        row.append(_nearest_k(hit, d2, nsample))
+                outs.append(jnp.stack(row, axis=0))
+            return jnp.stack(outs, axis=0)  # (R, H, C, nsample)
+
+        out = _chunked_centers_leading(per_chunk, (ctr, rr), chunk, len(radii), len(hmaxs), nsample)
+        return out
+
+    return jax.vmap(per_batch)(xyz, centers, rot)
+
+
+def _chunked_centers_leading(fn, centers_like, chunk, n_r, n_h, nsample):
+    """Like _chunked_centers but fn returns (R, H, chunk, k); output (R, H, m, k)."""
+    m = jax.tree_util.tree_leaves(centers_like)[0].shape[0]
+    m_pad = _round_up(m, chunk)
+    padded = jax.tree_util.tree_map(
+        lambda a: jnp.pad(a, [(0, m_pad - m)] + [(0, 0)] * (a.ndim - 1)), centers_like
+    )
+    reshaped = jax.tree_util.tree_map(
+        lambda a: a.reshape((m_pad // chunk, chunk) + a.shape[1:]), padded
+    )
+    out = lax.map(fn, reshaped)  # (nchunk, R, H, chunk, k)
+    out = jnp.moveaxis(out, 0, 2).reshape(n_r, n_h, m_pad, nsample)[:, :, :m]
+    return out

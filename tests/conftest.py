@@ -1,0 +1,25 @@
+"""Test configuration: force CPU JAX with a virtual 8-device mesh.
+
+CI/tests never need a TPU: XLA:CPU plays the fake backend, and the
+host-platform device count gives us a real 8-way mesh for sharding tests.
+Must run before jax is imported anywhere.
+"""
+
+import os
+
+# Force-override: the shell env pins JAX_PLATFORMS=axon (remote TPU tunnel);
+# tests must run on local XLA:CPU.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

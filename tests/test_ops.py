@@ -1,0 +1,191 @@
+"""L0 op tests against numpy oracles (SURVEY.md §4 test pyramid, level 1)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from graspbalance_tpu import ops
+from tests import oracles
+
+
+def random_cloud(rng, b, n, scale=0.5, pad_origin=0):
+    pts = (rng.random((b, n, 3), dtype=np.float32) - 0.5) * scale
+    if pad_origin:
+        pts[:, -pad_origin:, :] = 0.0
+    return pts
+
+
+class TestFPS:
+    def test_matches_oracle(self, rng):
+        pts = random_cloud(rng, 2, 257)
+        got = np.asarray(ops.furthest_point_sample(jnp.asarray(pts), 33, use_pallas=False))
+        for b in range(2):
+            want = oracles.fps_oracle(pts[b], 33)
+            np.testing.assert_array_equal(got[b], want)
+
+    def test_origin_skip(self, rng):
+        pts = random_cloud(rng, 1, 128, pad_origin=40)
+        got = np.asarray(
+            ops.furthest_point_sample(jnp.asarray(pts), 50, use_pallas=False)
+        )[0]
+        want = oracles.fps_oracle(pts[0], 50, skip_origin=True)
+        np.testing.assert_array_equal(got, want)
+        # near-origin padding never selected (except the forced seed 0)
+        assert not np.any(got[1:] >= 88)
+
+    def test_variant_b_no_skip(self, rng):
+        pts = random_cloud(rng, 1, 100, pad_origin=10)
+        got = np.asarray(
+            ops.furthest_point_sample(jnp.asarray(pts), 40, skip_origin=False, use_pallas=False)
+        )[0]
+        want = oracles.fps_oracle(pts[0], 40, skip_origin=False)
+        np.testing.assert_array_equal(got, want)
+
+    def test_prefix_property(self, rng):
+        """FPS re-run on its own output is the identity prefix — the nesting
+        the DRP backbone relies on (drp.py:306)."""
+        pts = random_cloud(rng, 1, 500)
+        idx = np.asarray(ops.furthest_point_sample(jnp.asarray(pts), 64, use_pallas=False))[0]
+        sub = pts[0][idx][None]
+        idx2 = np.asarray(ops.furthest_point_sample(jnp.asarray(sub), 32, use_pallas=False))[0]
+        np.testing.assert_array_equal(idx2, np.arange(32))
+
+
+class TestBallQuery:
+    @pytest.mark.parametrize("radius,nsample", [(0.1, 8), (0.04, 16), (0.3, 4)])
+    def test_matches_oracle(self, rng, radius, nsample):
+        pts = random_cloud(rng, 2, 300)
+        centers = pts[:, :37, :]
+        got = np.asarray(
+            ops.ball_query(jnp.asarray(pts), jnp.asarray(centers), radius, nsample, chunk=16)
+        )
+        for b in range(2):
+            want = oracles.ball_query_oracle(pts[b], centers[b], radius, nsample)
+            np.testing.assert_array_equal(got[b], want)
+
+    def test_empty_ball_is_zero(self, rng):
+        pts = random_cloud(rng, 1, 64)
+        centers = np.full((1, 3, 3), 100.0, np.float32)
+        got = np.asarray(ops.ball_query(jnp.asarray(pts), jnp.asarray(centers), 0.1, 8))
+        np.testing.assert_array_equal(got, np.zeros((1, 3, 8), np.int32))
+
+    def test_nearest_order_set(self, rng):
+        """nearest-k returns the k nearest hits (set check vs oracle d2)."""
+        pts = random_cloud(rng, 1, 200)
+        centers = pts[:, :11, :]
+        got = np.asarray(
+            ops.ball_query(jnp.asarray(pts), jnp.asarray(centers), 0.2, 4, order="nearest")
+        )[0]
+        d2 = np.sum((centers[0][:, None] - pts[0][None]) ** 2, -1)
+        for j in range(11):
+            hits = np.where(d2[j] < 0.04)[0]
+            want = hits[np.argsort(d2[j][hits], kind="stable")][:4]
+            k = min(len(want), 4)
+            np.testing.assert_array_equal(got[j][:k], want[:k])
+
+
+class TestCylinderQuery:
+    def test_matches_oracle(self, rng):
+        pts = random_cloud(rng, 2, 256)
+        centers = pts[:, :17, :]
+        # random rotations via QR
+        raw = rng.standard_normal((2, 17, 3, 3)).astype(np.float32)
+        rot = np.linalg.qr(raw)[0].astype(np.float32)
+        got = np.asarray(
+            ops.cylinder_query(
+                jnp.asarray(pts), jnp.asarray(centers), jnp.asarray(rot),
+                0.08, -0.02, 0.04, 8, chunk=8,
+            )
+        )
+        for b in range(2):
+            want = oracles.cylinder_query_oracle(
+                pts[b], centers[b], rot[b], 0.08, -0.02, 0.04, 8
+            )
+            np.testing.assert_array_equal(got[b], want)
+
+    def test_multi_matches_single(self, rng):
+        pts = random_cloud(rng, 1, 200)
+        centers = pts[:, :9, :]
+        raw = rng.standard_normal((1, 9, 3, 3)).astype(np.float32)
+        rot = np.linalg.qr(raw)[0].astype(np.float32)
+        radii = (0.02, 0.04, 0.06, 0.08)
+        hmaxs = (0.01, 0.02, 0.03, 0.04)
+        got = np.asarray(
+            ops.multi_cylinder_query(
+                jnp.asarray(pts), jnp.asarray(centers), jnp.asarray(rot),
+                radii, -0.02, hmaxs, 8, chunk=4,
+            )
+        )
+        for ri, radius in enumerate(radii):
+            for hi, hmax in enumerate(hmaxs):
+                want = np.asarray(
+                    ops.cylinder_query(
+                        jnp.asarray(pts), jnp.asarray(centers), jnp.asarray(rot),
+                        radius, -0.02, hmax, 8,
+                    )
+                )
+                np.testing.assert_array_equal(got[:, ri, hi], want)
+
+
+class TestKNN:
+    def test_knn1(self, rng):
+        ref = random_cloud(rng, 2, 100)
+        query = random_cloud(rng, 2, 50)
+        got = np.asarray(ops.knn1(jnp.asarray(ref), jnp.asarray(query)))
+        for b in range(2):
+            _, want = oracles.knn_oracle(ref[b], query[b], 1)
+            np.testing.assert_array_equal(got[b], want[:, 0])
+
+    def test_three_nn(self, rng):
+        known = random_cloud(rng, 2, 64)
+        unknown = random_cloud(rng, 2, 128)
+        dist, idx = ops.three_nn(jnp.asarray(unknown), jnp.asarray(known))
+        for b in range(2):
+            dwant, iwant = oracles.knn_oracle(known[b], unknown[b], 3)
+            np.testing.assert_array_equal(np.asarray(idx)[b], iwant)
+            np.testing.assert_allclose(np.asarray(dist)[b], dwant, rtol=1e-5, atol=1e-6)
+
+    def test_knn1_masked(self, rng):
+        ref = random_cloud(rng, 1, 20)
+        query = ref.copy()
+        mask = np.ones((1, 20), bool)
+        mask[0, :10] = False
+        got = np.asarray(ops.knn1(jnp.asarray(ref), jnp.asarray(query), ref_valid=jnp.asarray(mask)))
+        assert np.all(got >= 10)
+
+
+class TestGatherInterp:
+    def test_gather_group(self, rng):
+        pts = rng.random((2, 30, 5), dtype=np.float32)
+        idx = rng.integers(0, 30, (2, 7)).astype(np.int32)
+        got = np.asarray(ops.gather_points(jnp.asarray(pts), jnp.asarray(idx)))
+        for b in range(2):
+            np.testing.assert_array_equal(got[b], pts[b][idx[b]])
+        gidx = rng.integers(0, 30, (2, 7, 4)).astype(np.int32)
+        got = np.asarray(ops.group_points(jnp.asarray(pts), jnp.asarray(gidx)))
+        for b in range(2):
+            np.testing.assert_array_equal(got[b], pts[b][gidx[b]])
+
+    def test_three_interpolate(self, rng):
+        feats = rng.random((1, 16, 8), dtype=np.float32)
+        idx = rng.integers(0, 16, (1, 10, 3)).astype(np.int32)
+        w = rng.random((1, 10, 3), dtype=np.float32)
+        w /= w.sum(-1, keepdims=True)
+        got = np.asarray(
+            ops.three_interpolate(jnp.asarray(feats), jnp.asarray(idx), jnp.asarray(w))
+        )[0]
+        want = oracles.three_interpolate_oracle(feats[0], idx[0], w[0])
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_group_points_grad_scatter_add(self, rng):
+        """Backward of grouping = scatter-add (deterministic, unlike the
+        reference's atomicAdd — SURVEY.md §5)."""
+        pts = jnp.asarray(rng.random((1, 10, 2), dtype=np.float32))
+        idx = jnp.asarray(np.array([[[0, 0], [1, 2]]], np.int32))
+        grad = jax.grad(lambda p: jnp.sum(ops.group_points(p, idx)))(pts)
+        want = np.zeros((1, 10, 2), np.float32)
+        want[0, 0] = 2.0
+        want[0, 1] = 1.0
+        want[0, 2] = 1.0
+        np.testing.assert_allclose(np.asarray(grad), want)
