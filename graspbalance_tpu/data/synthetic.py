@@ -1,0 +1,123 @@
+"""Synthetic grasp scenes with analytic labels.
+
+Serves the role the reference left empty (SURVEY.md §4: no fixtures, no fake
+backend): deterministic random scenes of box-ish objects on a table plane,
+with padded label tensors in exactly the collate contract of the real
+GraspNet loader. Used by tests (overfit/one-batch checks without the 200 GB
+dataset) and by bench.py (steady-state input shapes identical to training).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class SceneConfig:
+    num_points: int = 20000
+    num_views: int = 300
+    num_angles: int = 12
+    num_depths: int = 4
+    max_objects: int = 12
+    max_grasp_points: int = 4096
+    grasp_points_per_object: int = 300
+    num_objects: int = 8
+    table_frac: float = 0.4
+
+
+def make_scene(rng: np.random.Generator, cfg: SceneConfig) -> dict:
+    """One synthetic scene in the padded collate layout (unbatched)."""
+    n_obj = cfg.num_objects
+    n_table = int(cfg.num_points * cfg.table_frac)
+    n_obj_pts = cfg.num_points - n_table
+
+    # table plane at z ~ 0.5 (camera frame-ish depths)
+    table = np.empty((n_table, 3), np.float32)
+    table[:, 0] = rng.uniform(-0.3, 0.3, n_table)
+    table[:, 1] = rng.uniform(-0.3, 0.3, n_table)
+    table[:, 2] = 0.5 + rng.normal(0, 0.002, n_table)
+
+    # objects: random boxes above the plane
+    centers = np.stack(
+        [
+            rng.uniform(-0.25, 0.25, n_obj),
+            rng.uniform(-0.25, 0.25, n_obj),
+            rng.uniform(0.42, 0.48, n_obj),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    sizes = rng.uniform(0.02, 0.08, (n_obj, 3)).astype(np.float32)
+
+    per_obj = n_obj_pts // n_obj
+    obj_points = []
+    obj_ids = []
+    for i in range(n_obj):
+        p = (rng.random((per_obj, 3), dtype=np.float32) - 0.5) * sizes[i] + centers[i]
+        obj_points.append(p)
+        obj_ids.append(np.full(per_obj, i + 1, np.int32))
+    rem = n_obj_pts - per_obj * n_obj
+    if rem:
+        obj_points.append(table[:rem])
+        obj_ids.append(np.zeros(rem, np.int32))
+    cloud = np.concatenate([table] + obj_points, axis=0)
+    seg = np.concatenate([np.zeros(n_table, np.int32)] + obj_ids)
+    perm = rng.permutation(cfg.num_points)
+    cloud, seg = cloud[perm], seg[perm]
+
+    # poses: identity rotation + object center translation (labels are in the
+    # object frame => label points = sampled object surface - center)
+    o_max = cfg.max_objects
+    poses = np.zeros((o_max, 3, 4), np.float32)
+    obj_mask = np.zeros(o_max, bool)
+    for i in range(n_obj):
+        poses[i, :, :3] = np.eye(3, dtype=np.float32)
+        poses[i, :, 3] = centers[i]
+        obj_mask[i] = True
+
+    # label points: random surface-ish points per object (object frame)
+    p_max = cfg.max_grasp_points
+    gpts = np.zeros((p_max, 3), np.float32)
+    gobj = np.zeros(p_max, np.int32)
+    gmask = np.zeros(p_max, bool)
+    k = cfg.grasp_points_per_object
+    total = min(n_obj * k, p_max)
+    for i in range(n_obj):
+        lo, hi = i * k, min((i + 1) * k, p_max)
+        if lo >= p_max:
+            break
+        cnt = hi - lo
+        gpts[lo:hi] = (rng.random((cnt, 3), dtype=np.float32) - 0.5) * sizes[i]
+        gobj[lo:hi] = i
+        gmask[lo:hi] = True
+
+    vad = (p_max, cfg.num_views, cfg.num_angles, cfg.num_depths)
+    labels = np.zeros(vad, np.float32)
+    # friction scores in (0, 1.2]; ~half the entries zero (ungraspable)
+    graspable = rng.random(vad) < 0.5
+    labels[graspable] = rng.uniform(0.1, 1.2, graspable.sum())
+    widths = rng.uniform(0.0, 0.12, vad).astype(np.float32)
+    tolerance = rng.uniform(0.0, 0.05, vad).astype(np.float32)
+    labels[~gmask] = 0.0
+
+    return {
+        "point_clouds": cloud,
+        "objectness_label": (seg > 0).astype(np.int32),
+        "instance_label": seg,
+        "object_poses": poses,
+        "obj_mask": obj_mask,
+        "grasp_points": gpts,
+        "grasp_pt_obj": gobj,
+        "grasp_pt_mask": gmask,
+        "grasp_labels": labels,
+        "grasp_widths": widths,
+        "grasp_tolerance": tolerance,
+    }
+
+
+def make_batch(seed: int, batch_size: int, cfg: SceneConfig | None = None) -> dict:
+    cfg = cfg or SceneConfig()
+    rng = np.random.default_rng(seed)
+    scenes = [make_scene(rng, cfg) for _ in range(batch_size)]
+    return {k: np.stack([s[k] for s in scenes]) for k in scenes[0]}

@@ -1,0 +1,156 @@
+"""GraspBalance: the full two-stage grasp pose detection model.
+
+Rebuild of TrainModel/graspbalance.py:24-136 as one flax module:
+
+  Stage 1: DRP backbone -> (optional OBS re-seeding at inference) ->
+           GraspableDetection (objectness + 300 view scores + top view).
+  Label matching (training): on-device process_grasp_labels +
+           match_grasp_view_and_label (padded, vmapped — replaces the
+           reference's per-batch-item Python loops).
+  Stage 2: multi-scale cylinder width grouping (4 radii x 4 depths in one
+           fused query) -> 1x1 fuse -> gated fusion with seed features ->
+           grasp parameter + tolerance heads.
+
+The universal in-memory interface is a string-keyed dict of arrays
+("end_points", like the reference but a JAX pytree). Key inventory:
+  inputs:   point_clouds (B,N,3+F); [train] label arrays (see labels/label_gen)
+  stage 1:  input_xyz, sa{1..4}_{xyz,features}, sa1_inds, fp2_features,
+            fp2_xyz, fp2_inds, objectness_score, view_score,
+            grasp_top_view_{inds,score,xyz,rot}
+  labels:   batch_grasp_{point,view,view_rot,label,width,tolerance,
+            view_label} (+ *_all at the top view)
+  stage 2:  grasp_{score,angle_cls,width}_pred, grasp_tolerance_pred
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from graspbalance_tpu.models.drp import DRP
+from graspbalance_tpu.models.backbone import Pointnet2Backbone
+from graspbalance_tpu.models.heads import (
+    GraspableDetection,
+    GraspParametersHead,
+    MultiScaleWidthGrouping,
+    ToleranceHead,
+)
+from graspbalance_tpu.labels.label_gen import (
+    match_grasp_view_and_label,
+    process_grasp_labels,
+)
+
+EndPoints = dict
+
+
+class GraspBalance(nn.Module):
+    num_view: int = 300
+    num_angle: int = 12
+    num_depth: int = 4
+    cylinder_radius: float = 0.08
+    hmin: float = -0.02
+    hmax_list: Sequence[float] = (0.01, 0.02, 0.03, 0.04)
+    backbone: str = "drp"  # 'drp' | 'pointnet2'
+    backbone_stages: tuple | None = None  # override stage table (tests/configs)
+    num_seed: int = 1024
+    query_order: str = "index"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        batch: dict,
+        *,
+        train: bool = False,
+        bn_momentum=0.1,
+    ) -> EndPoints:
+        """batch: dict with 'point_clouds' (B,N,3+F); optional 'sa_inds'
+        (B,2048) precomputed FPS; when train=True also the padded label
+        arrays consumed by labels/label_gen.process_grasp_labels; at
+        inference optionally 'seed_cluster' (B,N) instance ids for OBS
+        (pre-applied by eval/obs — see ObjectBalanceSampling)."""
+        bb_cls = DRP if self.backbone == "drp" else Pointnet2Backbone
+        bb_kwargs = dict(
+            num_seed=self.num_seed,
+            query_order=self.query_order,
+            dtype=self.dtype,
+            name="backbone",
+        )
+        if self.backbone_stages is not None:
+            bb_kwargs["stages"] = self.backbone_stages
+        ep = bb_cls(**bb_kwargs)(
+            batch["point_clouds"],
+            sa_inds=batch.get("sa_inds"),
+            train=train,
+            bn_momentum=bn_momentum,
+        )
+
+        seed_xyz = ep["fp2_xyz"]
+        seed_features = ep["fp2_features"]
+        # OBS re-seeding happens outside the module (eval/obs.py) because it
+        # needs the DSN clustering result; it replaces fp2_* in `batch`.
+        if "obs_fp2_xyz" in batch:
+            ep["fp2_inds_fps"] = ep["fp2_inds"]
+            seed_xyz = ep["fp2_xyz"] = batch["obs_fp2_xyz"]
+            seed_features = ep["fp2_features"] = batch["obs_fp2_features"]
+            ep["fp2_inds"] = batch["obs_fp2_inds"]
+
+        ep.update(
+            GraspableDetection(
+                num_view=self.num_view, dtype=self.dtype, name="graspable"
+            )(seed_xyz, seed_features, train=train, bn_momentum=bn_momentum)
+        )
+
+        if train:
+            grasp_labels = process_grasp_labels(seed_xyz, batch)
+            matched = match_grasp_view_and_label(
+                ep["grasp_top_view_inds"], grasp_labels
+            )
+            ep.update(matched)
+            stage2_seed_xyz = matched["batch_grasp_point"]
+            stage2_rot = matched["batch_grasp_view_rot"]
+        else:
+            stage2_seed_xyz = seed_xyz
+            stage2_rot = ep["grasp_top_view_rot"]
+
+        vp = MultiScaleWidthGrouping(
+            cylinder_radius=self.cylinder_radius,
+            hmin=self.hmin,
+            hmax_list=tuple(self.hmax_list),
+            query_order=self.query_order,
+            dtype=self.dtype,
+            name="width_grouping",
+        )(
+            stage2_seed_xyz, ep["input_xyz"], stage2_rot,
+            train=train, bn_momentum=bn_momentum,
+        )  # (B, Ns, D, 4*256)
+        vp = nn.Dense(
+            256, dtype=self.dtype, param_dtype=jnp.float32, name="fuse_multi_scale"
+        )(vp)
+        gate = nn.sigmoid(
+            nn.Dense(
+                256, dtype=self.dtype, param_dtype=jnp.float32, name="gate_fusion"
+            )(seed_features)
+        )
+        gated = (gate * seed_features.astype(gate.dtype))[:, :, None, :]
+        vp_features = vp + gated  # (B, Ns, D, 256)
+
+        ep.update(
+            GraspParametersHead(
+                num_angle=self.num_angle,
+                num_depth=self.num_depth,
+                dtype=self.dtype,
+                name="grasp_params",
+            )(vp_features, train=train, bn_momentum=bn_momentum)
+        )
+        ep.update(
+            ToleranceHead(
+                num_angle=self.num_angle,
+                num_depth=self.num_depth,
+                dtype=self.dtype,
+                name="tolerance",
+            )(vp_features, train=train, bn_momentum=bn_momentum)
+        )
+        return ep

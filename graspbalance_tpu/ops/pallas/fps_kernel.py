@@ -33,7 +33,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _fps_kernel(xyz_ref, out_ref, *, num_samples: int, n_actual: int, skip_origin: bool):
-    # xyz_ref: (1, 3, Npad) f32; out_ref: (1, num_samples) int32
+    # xyz_ref: (1, 3, Npad) f32; out_ref: (1, 1, Mpad) int32
     x = xyz_ref[0, 0:1, :]  # (1, Npad)
     y = xyz_ref[0, 1:2, :]
     z = xyz_ref[0, 2:3, :]
@@ -43,10 +43,11 @@ def _fps_kernel(xyz_ref, out_ref, *, num_samples: int, n_actual: int, skip_origi
     if skip_origin:
         valid = jnp.logical_and(valid, (x * x + y * y + z * z) > _ORIGIN_EPS)
 
-    out_ref[:, 0:1] = jnp.zeros((1, 1), jnp.int32)
+    m_pad = out_ref.shape[-1]
+    iota_m = lax.broadcasted_iota(jnp.int32, (1, m_pad), dimension=1)
 
     def body(j, carry):
-        dist, lx, ly, lz = carry
+        dist, out_vec, lx, ly, lz = carry
         dx = x - lx
         dy = y - ly
         dz = z - lz
@@ -56,20 +57,24 @@ def _fps_kernel(xyz_ref, out_ref, *, num_samples: int, n_actual: int, skip_origi
         mx = jnp.max(cand)
         # first index attaining the max (deterministic tie-break)
         best = jnp.min(jnp.where(cand == mx, iota, n_pad)).astype(jnp.int32)
-        out_ref[:, pl.ds(j, 1)] = best.reshape(1, 1)
+        # Mosaic forbids dynamic lane-offset scalar stores; select into the
+        # output vector instead (16 vregs of VPU work per step).
+        out_vec = jnp.where(iota_m == j, best, out_vec)
         sel = iota == best
         nlx = jnp.sum(jnp.where(sel, x, 0.0))
         nly = jnp.sum(jnp.where(sel, y, 0.0))
         nlz = jnp.sum(jnp.where(sel, z, 0.0))
-        return dist, nlx, nly, nlz
+        return dist, out_vec, nlx, nly, nlz
 
     init = (
         jnp.full((1, n_pad), _INIT_DIST, jnp.float32),
+        jnp.zeros((1, m_pad), jnp.int32),
         x[0, 0],
         y[0, 0],
         z[0, 0],
     )
-    lax.fori_loop(1, num_samples, body, init)
+    carry = lax.fori_loop(1, num_samples, body, init)
+    out_ref[0] = carry[1]
 
 
 @functools.partial(jax.jit, static_argnames=("num_samples", "skip_origin"))
@@ -91,7 +96,9 @@ def fps_pallas(xyz: jnp.ndarray, num_samples: int, *, skip_origin: bool = True) 
         in_specs=[
             pl.BlockSpec((1, 3, n_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
         ],
-        out_specs=pl.BlockSpec((1, m_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, m_pad), jnp.int32),
+        out_specs=pl.BlockSpec(
+            (1, 1, m_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, 1, m_pad), jnp.int32),
     )(xyz_t)
-    return out[:, :num_samples]
+    return out[:, 0, :num_samples]

@@ -7,14 +7,19 @@ Must run before jax is imported anywhere.
 
 import os
 
-# Force-override: the shell env pins JAX_PLATFORMS=axon (remote TPU tunnel);
-# tests must run on local XLA:CPU.
+# Force-override: the environment pins jax to the axon remote-TPU plugin
+# (registered from sitecustomize before this file runs); tests must run on
+# local XLA:CPU with a virtual 8-device mesh.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

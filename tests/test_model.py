@@ -1,0 +1,197 @@
+"""Model-level tests: forward shapes, label pipeline, loss, decode.
+
+Uses tiny synthetic scenes (SURVEY.md §4 level 3: synthetic-scene
+integration tests so CI needs no dataset and no TPU).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from graspbalance_tpu.data.synthetic import SceneConfig, make_batch
+from graspbalance_tpu.models.drp import DRP, DRP_STAGES
+from graspbalance_tpu.models.graspbalance import GraspBalance
+from graspbalance_tpu.models.decode import pred_decode
+from graspbalance_tpu.labels.label_gen import (
+    match_grasp_view_and_label,
+    process_grasp_labels,
+)
+from graspbalance_tpu.labels.losses import get_loss
+from graspbalance_tpu.labels.geometry import generate_grasp_views_np
+
+TINY_STAGES = (
+    (128, 0.08, 16, (16, 16, 32), 1, 0.16, 16),
+    (64, 0.20, 8, (32, 32, 64), 1, 0.40, 8),
+    (32, 0.40, 8, (32, 32, 64), 1, 0.80, 8),
+    (16, 0.60, 8, (32, 32, 64), 1, 1.20, 8),
+)
+
+TINY_CFG = SceneConfig(
+    num_points=512,
+    num_views=60,
+    num_angles=12,
+    num_depths=4,
+    max_objects=8,
+    max_grasp_points=256,
+    grasp_points_per_object=32,
+    num_objects=4,
+)
+
+
+def tiny_model(train=True):
+    return GraspBalance(num_view=60, backbone="drp", dtype=jnp.float32)
+
+
+def tiny_drp():
+    # mirror DRP but tiny; FP mlps stay (256,256) shaped by module, so use a
+    # custom stage table with matching fp dims via monkeypatch of stages only.
+    return DRP(stages=TINY_STAGES, num_seed=64)
+
+
+class TestDRP:
+    def test_forward_shapes(self):
+        batch = make_batch(0, 2, TINY_CFG)
+        model = tiny_drp()
+        pc = jnp.asarray(batch["point_clouds"])
+        variables = model.init(jax.random.PRNGKey(0), pc, train=False)
+        out = model.apply(variables, pc, train=False)
+        assert out["fp2_xyz"].shape == (2, 64, 3)
+        assert out["fp2_features"].shape == (2, 64, 256)
+        assert out["fp2_inds"].shape == (2, 64)
+        assert out["sa4_xyz"].shape == (2, 16, 3)
+
+    def test_fp2_inds_are_seed_indices(self):
+        """fp2_xyz must equal cloud[fp2_inds] — exact by nested-prefix FPS."""
+        batch = make_batch(1, 1, TINY_CFG)
+        model = tiny_drp()
+        pc = jnp.asarray(batch["point_clouds"])
+        variables = model.init(jax.random.PRNGKey(0), pc, train=False)
+        out = model.apply(variables, pc, train=False)
+        gathered = np.take_along_axis(
+            np.asarray(pc), np.asarray(out["fp2_inds"])[..., None], axis=1
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["fp2_xyz"]), gathered[..., :3], atol=1e-6
+        )
+
+
+class TestLabelGen:
+    def _labels(self, batch):
+        return {
+            k: jnp.asarray(batch[k])
+            for k in (
+                "object_poses", "obj_mask", "grasp_points", "grasp_pt_obj",
+                "grasp_pt_mask", "grasp_labels", "grasp_widths",
+                "grasp_tolerance",
+            )
+        }
+
+    def test_shapes_and_rescale(self):
+        batch = make_batch(2, 2, TINY_CFG)
+        seeds = jnp.asarray(batch["point_clouds"][:, :64, :3])
+        out = process_grasp_labels(seeds, self._labels(batch))
+        v, a, d = TINY_CFG.num_views, TINY_CFG.num_angles, TINY_CFG.num_depths
+        assert out["batch_grasp_label"].shape == (2, 64, v, a, d)
+        assert out["batch_grasp_view"].shape == (2, 64, v, 3)
+        assert out["batch_grasp_view_rot"].shape == (2, 64, v, 3, 3)
+        assert out["batch_grasp_view_label"].shape == (2, 64, v)
+        lab = np.asarray(out["batch_grasp_label"])
+        assert np.all(lab >= 0) and np.isfinite(lab).all()
+
+    def test_nearest_point_assignment(self):
+        """Seed exactly on a label point gets that point's labels."""
+        batch = make_batch(3, 1, TINY_CFG)
+        lbl = self._labels(batch)
+        # camera-frame position of label point 5 (object 0, identity rot)
+        p_cam = batch["grasp_points"][0, 5] + batch["object_poses"][0, 0, :, 3]
+        seeds = jnp.asarray(np.tile(p_cam, (1, 64, 1)).astype(np.float32))
+        out = process_grasp_labels(seeds, lbl)
+        np.testing.assert_allclose(
+            np.asarray(out["batch_grasp_point"][0, 0]), p_cam, atol=1e-6
+        )
+
+    def test_identity_pose_view_reindex(self):
+        """With identity rotation, view re-indexing is the identity."""
+        batch = make_batch(4, 1, TINY_CFG)
+        lbl = self._labels(batch)
+        seeds = jnp.asarray(batch["point_clouds"][:, :64, :3])
+        out = process_grasp_labels(seeds, lbl)
+        views = np.asarray(out["batch_grasp_view"][0, 0])
+        templates = generate_grasp_views_np(TINY_CFG.num_views)
+        np.testing.assert_allclose(views, templates, atol=1e-5)
+
+    def test_match_top_view(self):
+        batch = make_batch(5, 1, TINY_CFG)
+        seeds = jnp.asarray(batch["point_clouds"][:, :64, :3])
+        out = process_grasp_labels(seeds, self._labels(batch))
+        top = jnp.asarray(np.random.default_rng(0).integers(0, 60, (1, 64)))
+        matched = match_grasp_view_and_label(top, out)
+        a, d = TINY_CFG.num_angles, TINY_CFG.num_depths
+        assert matched["batch_grasp_label"].shape == (1, 64, a, d)
+        assert matched["batch_grasp_view_rot"].shape == (1, 64, 3, 3)
+        # spot check gather correctness
+        want = np.asarray(out["batch_grasp_label"])[0, 7, int(top[0, 7])]
+        np.testing.assert_array_equal(
+            np.asarray(matched["batch_grasp_label"])[0, 7], want
+        )
+
+
+class TestEndToEnd:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        batch_np = make_batch(6, 2, TINY_CFG)
+        batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+        m = GraspBalance(num_view=60, backbone_stages=TINY_STAGES, num_seed=64)
+        variables = m.init(jax.random.PRNGKey(0), batch, train=True)
+        yield m, variables, batch
+
+    def test_train_forward_and_loss(self, setup):
+        model, variables, batch = setup
+        ep, mutated = model.apply(
+            variables, batch, train=True, mutable=["batch_stats"]
+        )
+        assert ep["grasp_score_pred"].shape == (2, 64, 12, 4)
+        assert ep["grasp_tolerance_pred"].shape == (2, 64, 12, 4)
+        assert ep["objectness_score"].shape == (2, 64, 2)
+        assert ep["view_score"].shape == (2, 64, 60)
+        ep["objectness_label"] = batch["objectness_label"]
+        loss, metrics = get_loss(ep)
+        assert np.isfinite(float(loss))
+        for k, v in metrics.items():
+            assert np.isfinite(float(v)), k
+
+    def test_grad_flows(self, setup):
+        model, variables, batch = setup
+
+        def loss_fn(params):
+            ep, _ = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                batch, train=True, mutable=["batch_stats"],
+            )
+            ep["objectness_label"] = batch["objectness_label"]
+            loss, _ = get_loss(ep)
+            return loss
+
+        grads = jax.grad(loss_fn)(variables["params"])
+        flat = jax.tree_util.tree_leaves(grads)
+        assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+        total = sum(float(jnp.sum(jnp.abs(g))) for g in flat)
+        assert total > 0
+
+    def test_eval_forward_and_decode(self, setup):
+        model, variables, batch = setup
+        infer_batch = {"point_clouds": batch["point_clouds"]}
+        ep = model.apply(variables, infer_batch, train=False)
+        grasps, valid = pred_decode(ep)
+        assert grasps.shape == (2, 64, 17)
+        assert valid.shape == (2, 64)
+        g = np.asarray(grasps)
+        # widths clamped to [0, 0.1]; height fixed 0.02; obj_id -1
+        assert np.all(g[..., 1] >= 0) and np.all(g[..., 1] <= 0.1 + 1e-6)
+        np.testing.assert_allclose(g[..., 2], 0.02, atol=1e-7)
+        np.testing.assert_allclose(g[..., 16], -1.0, atol=1e-7)
+        # rotation blocks are orthonormal
+        rots = g[..., 4:13].reshape(-1, 3, 3)
+        eye = np.einsum("nij,nkj->nik", rots, rots)
+        np.testing.assert_allclose(eye, np.tile(np.eye(3), (len(rots), 1, 1)), atol=1e-4)
