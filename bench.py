@@ -1,0 +1,71 @@
+"""Headline benchmark: GraspBalance inference clouds/sec/chip at 20k points.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference repo publishes no numbers (BASELINE.md). The
+north-star target is >=5x a V100 PyTorch reference on the same workload.
+BASELINE_CLOUDS_PER_SEC below is our working estimate of that V100 reference
+(full GraspBalance forward + decode at 20k points; the reference's own hot
+path is dominated by 2048-step FPS, 20k-point ball/cylinder query scans and
+the per-object Python label loops). vs_baseline = measured / baseline, so
+vs_baseline >= 5 meets the target.
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_CLOUDS_PER_SEC = 12.0  # estimated V100 torch reference (see docstring)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from graspbalance_tpu.train.config import Config
+    from graspbalance_tpu.train.train_step import build_model
+    from graspbalance_tpu.models.decode import pred_decode
+
+    cfg = Config()
+    model = build_model(cfg)
+    batch_size = 4
+    rng = np.random.default_rng(0)
+    cloud = jnp.asarray(
+        (rng.random((batch_size, cfg.data.num_points, 3), dtype=np.float32) - 0.5)
+    )
+    variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
+        jax.random.PRNGKey(0), {"point_clouds": cloud[:1]}
+    )
+
+    @jax.jit
+    def forward(variables, cloud):
+        ep = model.apply(variables, {"point_clouds": cloud}, train=False)
+        grasps, valid = pred_decode(ep)
+        # scalar checksum: float() on it forces full device execution (plain
+        # block_until_ready is unreliable through the remote-TPU tunnel)
+        return jnp.sum(grasps) + jnp.sum(valid)
+
+    float(forward(variables, cloud))  # warmup / compile
+
+    n_iters = 10
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        float(forward(variables, cloud))
+    dt = time.perf_counter() - t0
+
+    clouds_per_sec = batch_size * n_iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "inference_clouds_per_sec_per_chip_20k",
+                "value": round(clouds_per_sec, 3),
+                "unit": "clouds/s",
+                "vs_baseline": round(clouds_per_sec / BASELINE_CLOUDS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

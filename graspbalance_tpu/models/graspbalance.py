@@ -65,12 +65,20 @@ class GraspBalance(nn.Module):
         *,
         train: bool = False,
         bn_momentum=0.1,
+        match_labels: bool | None = None,
     ) -> EndPoints:
         """batch: dict with 'point_clouds' (B,N,3+F); optional 'sa_inds'
         (B,2048) precomputed FPS; when train=True also the padded label
         arrays consumed by labels/label_gen.process_grasp_labels; at
         inference optionally 'seed_cluster' (B,N) instance ids for OBS
-        (pre-applied by eval/obs — see ObjectBalanceSampling)."""
+        (pre-applied by eval/obs — see ObjectBalanceSampling).
+
+        `train` gates BatchNorm (batch vs running stats); `match_labels`
+        gates the label-matching forward path and defaults to `train`. The
+        reference's loss-only eval runs eval-mode BN with the training label
+        path (net.eval() + constructor is_training=True, train.py:177-196) —
+        that is train=False, match_labels=True here."""
+        match = train if match_labels is None else match_labels
         bb_cls = DRP if self.backbone == "drp" else Pointnet2Backbone
         bb_kwargs = dict(
             num_seed=self.num_seed,
@@ -103,7 +111,7 @@ class GraspBalance(nn.Module):
             )(seed_xyz, seed_features, train=train, bn_momentum=bn_momentum)
         )
 
-        if train:
+        if match:
             grasp_labels = process_grasp_labels(seed_xyz, batch)
             matched = match_grasp_view_and_label(
                 ep["grasp_top_view_inds"], grasp_labels

@@ -1,0 +1,10 @@
+"""Device mesh + sharding helpers."""
+
+from graspbalance_tpu.parallel.mesh import (
+    make_mesh,
+    batch_sharding,
+    replicated_sharding,
+    shard_batch,
+)
+
+__all__ = ["make_mesh", "batch_sharding", "replicated_sharding", "shard_batch"]

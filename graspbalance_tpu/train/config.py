@@ -1,0 +1,59 @@
+"""One dataclass config tree (replaces the reference's argparse-only flags,
+train.py:21-38, and its hard-coded architecture constants)."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    num_view: int = 300
+    num_angle: int = 12
+    num_depth: int = 4
+    cylinder_radius: float = 0.08
+    hmin: float = -0.02
+    hmax_list: Sequence[float] = (0.01, 0.02, 0.03, 0.04)
+    backbone: str = "drp"  # 'drp' | 'pointnet2'
+    backbone_stages: tuple | None = None  # None = full-size stage table
+    num_seed: int = 1024
+    query_order: str = "index"  # 'index' (reference parity) | 'nearest'
+    dtype: str = "float32"  # compute dtype: 'float32' | 'bfloat16'
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    dataset_root: str = ""
+    camera: str = "realsense"  # 'realsense' | 'kinect'
+    num_points: int = 20000
+    max_objects: int = 16
+    max_grasp_points: int = 4096
+    batch_size: int = 2
+    num_workers: int = 2
+    ncm: bool = True  # noisy-clean per-object mix augmentation
+    augment: bool = True
+    precompute_fps: bool = True  # host-side FPS indices in the loader
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    max_epoch: int = 18
+    learning_rate: float = 1e-3
+    weight_decay: float = 0.0
+    bn_momentum_init: float = 0.5
+    bn_decay_rate: float = 0.5
+    bn_decay_step: int = 2
+    bn_momentum_floor: float = 0.001
+    log_dir: str = "logs/graspbalance_tpu"
+    log_every: int = 10
+    checkpoint_every_epochs: int = 1
+    seed: int = 0
+    n_data_shards: int | None = None  # None = all devices
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    model: ModelConfig = ModelConfig()
+    data: DataConfig = DataConfig()
+    train: TrainConfig = TrainConfig()

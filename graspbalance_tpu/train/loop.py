@@ -1,0 +1,84 @@
+"""Epoch-level training driver (the train.py:133-234 equivalent).
+
+Works with any iterable-of-batches data source (the real GraspNet loader or
+the synthetic generator). Batches are host numpy dicts; they are sharded
+onto the data mesh before each step.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from graspbalance_tpu.parallel.mesh import make_mesh, shard_batch
+from graspbalance_tpu.train.checkpoints import CheckpointManager
+from graspbalance_tpu.train.config import Config
+from graspbalance_tpu.train.metrics import MetricAggregator, MetricLogger
+from graspbalance_tpu.train.train_step import (
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+
+
+def train(
+    cfg: Config,
+    train_batches: Callable[[int], Iterable[dict]],
+    eval_batches: Callable[[], Iterable[dict]] | None = None,
+    steps_per_epoch: int | None = None,
+):
+    """train_batches(epoch) -> iterable of numpy batch dicts."""
+    mesh = make_mesh(cfg.train.n_data_shards)
+    sample = None
+    for sample in train_batches(0):
+        break
+    if sample is None:
+        raise ValueError("empty training stream")
+    if steps_per_epoch is None:
+        steps_per_epoch = sum(1 for _ in train_batches(0))
+
+    with mesh:
+        model, state = create_train_state(cfg, steps_per_epoch, sample)
+        train_step = make_train_step(model, cfg)
+        eval_step = make_eval_step(model, cfg)
+
+        ckpt = CheckpointManager(cfg.train.log_dir + "/checkpoints")
+        state, extra = ckpt.restore(state)
+        start_epoch = int(extra.get("epoch", 0)) if extra else (
+            int(state.step) // steps_per_epoch
+        )
+        logger = MetricLogger(cfg.train.log_dir, "train")
+        eval_logger = MetricLogger(cfg.train.log_dir, "test")
+
+        for epoch in range(start_epoch, cfg.train.max_epoch):
+            agg = MetricAggregator()
+            t_epoch = time.time()
+            for i, batch in enumerate(train_batches(epoch)):
+                batch = shard_batch(batch, mesh)
+                state, metrics = train_step(state, batch, jnp.int32(epoch))
+                agg.update(metrics)
+                if (i + 1) % cfg.train.log_every == 0:
+                    logger.log(int(state.step), agg.flush())
+            rest = agg.flush()
+            if rest:
+                logger.log(int(state.step), rest)
+            print(f"epoch {epoch} done in {time.time() - t_epoch:.1f}s")
+
+            if eval_batches is not None:
+                eagg = MetricAggregator()
+                for batch in eval_batches():
+                    batch = shard_batch(batch, mesh)
+                    eagg.update(eval_step(state, batch))
+                eval_logger.log(int(state.step), eagg.flush())
+
+            if (epoch + 1) % cfg.train.checkpoint_every_epochs == 0:
+                ckpt.save(int(state.step), state, extra={"epoch": epoch + 1})
+
+        ckpt.close()
+        logger.close()
+        eval_logger.close()
+    return state

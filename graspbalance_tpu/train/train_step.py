@@ -1,0 +1,143 @@
+"""The jitted training step: forward + loss + Adam/OneCycle under SPMD.
+
+Replaces train.py's per-batch loop body (train.py:138-155): the entire
+forward (backbone, heads, on-device label matching), the multi-task loss,
+the backward pass, and the optimizer update compile into a single XLA
+program. Under a data mesh the batch arrives sharded on axis 0 and XLA
+inserts the gradient all-reduce over ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from graspbalance_tpu.labels.losses import get_loss
+from graspbalance_tpu.models.graspbalance import GraspBalance
+from graspbalance_tpu.nn.layers import bn_momentum_schedule
+from graspbalance_tpu.train.config import Config
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+
+def build_model(cfg: Config) -> GraspBalance:
+    m = cfg.model
+    return GraspBalance(
+        num_view=m.num_view,
+        num_angle=m.num_angle,
+        num_depth=m.num_depth,
+        cylinder_radius=m.cylinder_radius,
+        hmin=m.hmin,
+        hmax_list=tuple(m.hmax_list),
+        backbone=m.backbone,
+        backbone_stages=m.backbone_stages,
+        num_seed=m.num_seed,
+        query_order=m.query_order,
+        dtype=jnp.bfloat16 if m.dtype == "bfloat16" else jnp.float32,
+    )
+
+
+def make_optimizer(cfg: Config, steps_per_epoch: int) -> optax.GradientTransformation:
+    """Adam + OneCycle (torch OneCycleLR defaults: pct_start 0.3, cosine,
+    div_factor 25, final_div_factor 1e4 — train.py:105-108)."""
+    t = cfg.train
+    total = max(t.max_epoch * steps_per_epoch, 1)
+    schedule = optax.cosine_onecycle_schedule(
+        transition_steps=total,
+        peak_value=t.learning_rate,
+        pct_start=0.3,
+        div_factor=25.0,
+        final_div_factor=1e4,
+    )
+    tx = optax.adam(schedule)
+    if t.weight_decay:
+        tx = optax.chain(optax.add_decayed_weights(t.weight_decay), tx)
+    return tx
+
+
+def create_train_state(cfg: Config, steps_per_epoch: int, sample_batch: dict, rng=None) -> tuple[GraspBalance, TrainState]:
+    model = build_model(cfg)
+    rng = rng if rng is not None else jax.random.PRNGKey(cfg.train.seed)
+    variables = model.init(rng, sample_batch, train=True)
+    tx = make_optimizer(cfg, steps_per_epoch)
+    params = variables["params"]
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(params),
+        tx=tx,
+    )
+    return model, state
+
+
+def make_train_step(model: GraspBalance, cfg: Config) -> Callable:
+    """Returns train_step(state, batch, epoch) -> (state, metrics), jitted
+    with donated state."""
+    t = cfg.train
+
+    def train_step(state: TrainState, batch: dict, epoch: jnp.ndarray):
+        bn_momentum = bn_momentum_schedule(
+            epoch,
+            init=t.bn_momentum_init,
+            decay_rate=t.bn_decay_rate,
+            decay_step=t.bn_decay_step,
+            floor=t.bn_momentum_floor,
+        )
+
+        def loss_fn(params):
+            ep, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch,
+                train=True,
+                bn_momentum=bn_momentum,
+                mutable=["batch_stats"],
+            )
+            ep["objectness_label"] = batch["objectness_label"]
+            loss, metrics = get_loss(ep)
+            return loss, (metrics, mutated["batch_stats"])
+
+        (loss, (metrics, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt,
+        )
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_eval_step(model: GraspBalance, cfg: Config) -> Callable:
+    """Loss-only eval step (train.py:177-209 evaluates loss on test_seen)."""
+
+    def eval_step(state: TrainState, batch: dict):
+        # Reference eval: running BN stats + the training label pipeline
+        # (net.eval() with constructor is_training=True, train.py:177-196).
+        ep = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch,
+            train=False,
+            match_labels=True,
+        )
+        ep["objectness_label"] = batch["objectness_label"]
+        _, metrics = get_loss(ep)
+        return metrics
+
+    return jax.jit(eval_step)

@@ -20,33 +20,17 @@ from graspbalance_tpu.labels.label_gen import (
 from graspbalance_tpu.labels.losses import get_loss
 from graspbalance_tpu.labels.geometry import generate_grasp_views_np
 
-TINY_STAGES = (
-    (128, 0.08, 16, (16, 16, 32), 1, 0.16, 16),
-    (64, 0.20, 8, (32, 32, 64), 1, 0.40, 8),
-    (32, 0.40, 8, (32, 32, 64), 1, 0.80, 8),
-    (16, 0.60, 8, (32, 32, 64), 1, 1.20, 8),
-)
-
-TINY_CFG = SceneConfig(
-    num_points=512,
-    num_views=60,
-    num_angles=12,
-    num_depths=4,
-    max_objects=8,
-    max_grasp_points=256,
-    grasp_points_per_object=32,
-    num_objects=4,
-)
+from tests.tiny import TINY_STAGES, TINY_SCENE as TINY_CFG, TINY_NUM_SEED, TINY_NUM_VIEW
 
 
 def tiny_model(train=True):
-    return GraspBalance(num_view=60, backbone="drp", dtype=jnp.float32)
+    return GraspBalance(num_view=TINY_NUM_VIEW, backbone="drp", dtype=jnp.float32)
 
 
 def tiny_drp():
     # mirror DRP but tiny; FP mlps stay (256,256) shaped by module, so use a
     # custom stage table with matching fp dims via monkeypatch of stages only.
-    return DRP(stages=TINY_STAGES, num_seed=64)
+    return DRP(stages=TINY_STAGES, num_seed=TINY_NUM_SEED)
 
 
 class TestDRP:
@@ -56,10 +40,10 @@ class TestDRP:
         pc = jnp.asarray(batch["point_clouds"])
         variables = model.init(jax.random.PRNGKey(0), pc, train=False)
         out = model.apply(variables, pc, train=False)
-        assert out["fp2_xyz"].shape == (2, 64, 3)
-        assert out["fp2_features"].shape == (2, 64, 256)
-        assert out["fp2_inds"].shape == (2, 64)
-        assert out["sa4_xyz"].shape == (2, 16, 3)
+        assert out["fp2_xyz"].shape == (2, 32, 3)
+        assert out["fp2_features"].shape == (2, 32, 256)
+        assert out["fp2_inds"].shape == (2, 32)
+        assert out["sa4_xyz"].shape == (2, 8, 3)
 
     def test_fp2_inds_are_seed_indices(self):
         """fp2_xyz must equal cloud[fp2_inds] — exact by nested-prefix FPS."""
@@ -89,13 +73,13 @@ class TestLabelGen:
 
     def test_shapes_and_rescale(self):
         batch = make_batch(2, 2, TINY_CFG)
-        seeds = jnp.asarray(batch["point_clouds"][:, :64, :3])
+        seeds = jnp.asarray(batch["point_clouds"][:, :32, :3])
         out = process_grasp_labels(seeds, self._labels(batch))
         v, a, d = TINY_CFG.num_views, TINY_CFG.num_angles, TINY_CFG.num_depths
-        assert out["batch_grasp_label"].shape == (2, 64, v, a, d)
-        assert out["batch_grasp_view"].shape == (2, 64, v, 3)
-        assert out["batch_grasp_view_rot"].shape == (2, 64, v, 3, 3)
-        assert out["batch_grasp_view_label"].shape == (2, 64, v)
+        assert out["batch_grasp_label"].shape == (2, 32, v, a, d)
+        assert out["batch_grasp_view"].shape == (2, 32, v, 3)
+        assert out["batch_grasp_view_rot"].shape == (2, 32, v, 3, 3)
+        assert out["batch_grasp_view_label"].shape == (2, 32, v)
         lab = np.asarray(out["batch_grasp_label"])
         assert np.all(lab >= 0) and np.isfinite(lab).all()
 
@@ -105,7 +89,7 @@ class TestLabelGen:
         lbl = self._labels(batch)
         # camera-frame position of label point 5 (object 0, identity rot)
         p_cam = batch["grasp_points"][0, 5] + batch["object_poses"][0, 0, :, 3]
-        seeds = jnp.asarray(np.tile(p_cam, (1, 64, 1)).astype(np.float32))
+        seeds = jnp.asarray(np.tile(p_cam, (1, 32, 1)).astype(np.float32))
         out = process_grasp_labels(seeds, lbl)
         np.testing.assert_allclose(
             np.asarray(out["batch_grasp_point"][0, 0]), p_cam, atol=1e-6
@@ -115,7 +99,7 @@ class TestLabelGen:
         """With identity rotation, view re-indexing is the identity."""
         batch = make_batch(4, 1, TINY_CFG)
         lbl = self._labels(batch)
-        seeds = jnp.asarray(batch["point_clouds"][:, :64, :3])
+        seeds = jnp.asarray(batch["point_clouds"][:, :32, :3])
         out = process_grasp_labels(seeds, lbl)
         views = np.asarray(out["batch_grasp_view"][0, 0])
         templates = generate_grasp_views_np(TINY_CFG.num_views)
@@ -123,13 +107,13 @@ class TestLabelGen:
 
     def test_match_top_view(self):
         batch = make_batch(5, 1, TINY_CFG)
-        seeds = jnp.asarray(batch["point_clouds"][:, :64, :3])
+        seeds = jnp.asarray(batch["point_clouds"][:, :32, :3])
         out = process_grasp_labels(seeds, self._labels(batch))
-        top = jnp.asarray(np.random.default_rng(0).integers(0, 60, (1, 64)))
+        top = jnp.asarray(np.random.default_rng(0).integers(0, TINY_NUM_VIEW, (1, 32)))
         matched = match_grasp_view_and_label(top, out)
         a, d = TINY_CFG.num_angles, TINY_CFG.num_depths
-        assert matched["batch_grasp_label"].shape == (1, 64, a, d)
-        assert matched["batch_grasp_view_rot"].shape == (1, 64, 3, 3)
+        assert matched["batch_grasp_label"].shape == (1, 32, a, d)
+        assert matched["batch_grasp_view_rot"].shape == (1, 32, 3, 3)
         # spot check gather correctness
         want = np.asarray(out["batch_grasp_label"])[0, 7, int(top[0, 7])]
         np.testing.assert_array_equal(
@@ -142,7 +126,7 @@ class TestEndToEnd:
     def setup(self):
         batch_np = make_batch(6, 2, TINY_CFG)
         batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
-        m = GraspBalance(num_view=60, backbone_stages=TINY_STAGES, num_seed=64)
+        m = GraspBalance(num_view=TINY_NUM_VIEW, backbone_stages=TINY_STAGES, num_seed=TINY_NUM_SEED)
         variables = m.init(jax.random.PRNGKey(0), batch, train=True)
         yield m, variables, batch
 
@@ -151,10 +135,10 @@ class TestEndToEnd:
         ep, mutated = model.apply(
             variables, batch, train=True, mutable=["batch_stats"]
         )
-        assert ep["grasp_score_pred"].shape == (2, 64, 12, 4)
-        assert ep["grasp_tolerance_pred"].shape == (2, 64, 12, 4)
-        assert ep["objectness_score"].shape == (2, 64, 2)
-        assert ep["view_score"].shape == (2, 64, 60)
+        assert ep["grasp_score_pred"].shape == (2, 32, 12, 4)
+        assert ep["grasp_tolerance_pred"].shape == (2, 32, 12, 4)
+        assert ep["objectness_score"].shape == (2, 32, 2)
+        assert ep["view_score"].shape == (2, 32, TINY_NUM_VIEW)
         ep["objectness_label"] = batch["objectness_label"]
         loss, metrics = get_loss(ep)
         assert np.isfinite(float(loss))
@@ -184,8 +168,8 @@ class TestEndToEnd:
         infer_batch = {"point_clouds": batch["point_clouds"]}
         ep = model.apply(variables, infer_batch, train=False)
         grasps, valid = pred_decode(ep)
-        assert grasps.shape == (2, 64, 17)
-        assert valid.shape == (2, 64)
+        assert grasps.shape == (2, 32, 17)
+        assert valid.shape == (2, 32)
         g = np.asarray(grasps)
         # widths clamped to [0, 0.1]; height fixed 0.02; obj_id -1
         assert np.all(g[..., 1] >= 0) and np.all(g[..., 1] <= 0.1 + 1e-6)

@@ -1,0 +1,21 @@
+"""Shared tiny model/scene configuration for fast CPU tests."""
+
+from graspbalance_tpu.data.synthetic import SceneConfig
+
+TINY_STAGES = (
+    (64, 0.08, 8, (16, 16, 32), 1, 0.16, 8),
+    (32, 0.20, 8, (16, 16, 32), 1, 0.40, 8),
+    (16, 0.40, 4, (16, 16, 32), 1, 0.80, 4),
+    (8, 0.60, 4, (16, 16, 32), 1, 1.20, 4),
+)
+TINY_NUM_SEED = 32
+TINY_NUM_VIEW = 24
+
+TINY_SCENE = SceneConfig(
+    num_points=256,
+    num_views=TINY_NUM_VIEW,
+    max_objects=4,
+    max_grasp_points=128,
+    grasp_points_per_object=24,
+    num_objects=3,
+)
