@@ -1,0 +1,129 @@
+"""Model-free collision detection, batched on device.
+
+Rebuild of ModelFreeCollisionDetector (collision_detector.py:6-64): each
+grasp defines four boxes in the gripper frame (left/right finger, bottom
+plate, approach-sweep); a grasp collides when the occupied-voxel count
+inside the boxes exceeds collision_thresh of the boxes' voxel volume.
+Here the scene x grasp test is one fused einsum + mask reduction over
+(G, N) on the VPU instead of a per-call numpy matmul.
+
+Gripper geometry constants follow collision_detector.py:8-9.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+FINGER_WIDTH = 0.01
+FINGER_LENGTH = 0.06
+
+
+def voxel_downsample(points: np.ndarray, voxel_size: float = 0.005) -> np.ndarray:
+    """Centroid voxel downsample (host, numpy) matching
+    o3d.voxel_down_sample semantics: one centroid per occupied voxel."""
+    coords = np.floor(points / voxel_size).astype(np.int64)
+    # lexicographic unique via a dense key
+    mins = coords.min(axis=0)
+    c = coords - mins
+    dims = c.max(axis=0) + 1
+    key = (c[:, 0] * dims[1] + c[:, 1]) * dims[2] + c[:, 2]
+    order = np.argsort(key, kind="stable")
+    key_sorted = key[order]
+    pts_sorted = points[order]
+    boundaries = np.flatnonzero(np.diff(key_sorted)) + 1
+    groups = np.split(pts_sorted, boundaries)
+    return np.stack([g.mean(axis=0) for g in groups]).astype(points.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("return_empty_grasp", "return_ious"),
+)
+def collision_detect(
+    scene_points: jnp.ndarray,
+    grasps: jnp.ndarray,
+    *,
+    scene_valid: jnp.ndarray | None = None,
+    voxel_size: float = 0.005,
+    approach_dist: float = 0.03,
+    collision_thresh: float = 0.05,
+    empty_thresh: float = 0.01,
+    return_empty_grasp: bool = False,
+    return_ious: bool = False,
+):
+    """scene_points (N,3) voxel-downsampled scene; grasps (G,17) decoded rows
+    [score,width,height,depth,rot9,center3,obj_id]; scene_valid optional
+    (N,) mask for padded scenes.
+
+    Returns collision mask (G,) bool (+ optional empty mask / iou tuple).
+    """
+    approach_dist = max(approach_dist, FINGER_WIDTH)
+    widths = grasps[:, 1:2]
+    heights = grasps[:, 2:3]
+    depths = grasps[:, 3:4]
+    rot = grasps[:, 4:13].reshape(-1, 3, 3)
+    trans = grasps[:, 13:16]
+
+    # gripper-frame coordinates of every scene point: (G, N, 3)
+    delta = scene_points[None, :, :] - trans[:, None, :]
+    targets = jnp.einsum("gnj,gjk->gnk", delta, rot)
+
+    x, y, z = targets[..., 0], targets[..., 1], targets[..., 2]
+    m_height = (z > -heights / 2) & (z < heights / 2)
+    m_depth = (x > depths - FINGER_LENGTH) & (x < depths)
+    m_left_out = y > -(widths / 2 + FINGER_WIDTH)
+    m_left_in = y < -widths / 2
+    m_right_out = y < (widths / 2 + FINGER_WIDTH)
+    m_right_in = y > widths / 2
+    m_bottom = (x <= depths - FINGER_LENGTH) & (
+        x > depths - FINGER_LENGTH - FINGER_WIDTH
+    )
+    m_shift = (x <= depths - FINGER_LENGTH - FINGER_WIDTH) & (
+        x > depths - FINGER_LENGTH - FINGER_WIDTH - approach_dist
+    )
+
+    left = m_height & m_depth & m_left_out & m_left_in
+    right = m_height & m_depth & m_right_out & m_right_in
+    bottom = m_height & m_left_out & m_right_out & m_bottom
+    shifting = m_height & m_left_out & m_right_out & m_shift
+    overall = left | right | bottom | shifting
+    if scene_valid is not None:
+        keep = scene_valid[None, :]
+        left &= keep
+        right &= keep
+        bottom &= keep
+        shifting &= keep
+        overall &= keep
+
+    v3 = voxel_size ** 3
+    lr_vol = (heights * FINGER_LENGTH * FINGER_WIDTH / v3)[:, 0]
+    bottom_vol = (heights * (widths + 2 * FINGER_WIDTH) * FINGER_WIDTH / v3)[:, 0]
+    shift_vol = (heights * (widths + 2 * FINGER_WIDTH) * approach_dist / v3)[:, 0]
+    volume = lr_vol * 2 + bottom_vol + shift_vol
+    global_iou = jnp.sum(overall, axis=1) / (volume + 1e-6)
+    collision = global_iou > collision_thresh
+
+    if not (return_empty_grasp or return_ious):
+        return collision
+    out = [collision]
+    if return_empty_grasp:
+        inner = m_height & m_depth & (~m_left_in) & (~m_right_in)
+        if scene_valid is not None:
+            inner &= scene_valid[None, :]
+        inner_vol = (heights * FINGER_LENGTH * widths / v3)[:, 0]
+        out.append(jnp.sum(inner, axis=1) / jnp.maximum(inner_vol, 1e-6) < empty_thresh)
+    if return_ious:
+        out.append(
+            (
+                global_iou,
+                jnp.sum(left, axis=1) / (lr_vol + 1e-6),
+                jnp.sum(right, axis=1) / (lr_vol + 1e-6),
+                jnp.sum(bottom, axis=1) / (bottom_vol + 1e-6),
+                jnp.sum(shifting, axis=1) / (shift_vol + 1e-6),
+            )
+        )
+    return tuple(out)

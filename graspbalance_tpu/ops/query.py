@@ -60,18 +60,21 @@ def _first_k_by_index(hit: jnp.ndarray, nsample: int, tile: int = 256) -> jnp.nd
         (tile_cum[..., None] <= js).astype(jnp.int32), axis=-2
     )  # (..., k)
     tj = jnp.minimum(tj, t - 1)
-    base = jnp.take_along_axis(
-        jnp.concatenate(
-            [jnp.zeros_like(tile_cum[..., :1]), tile_cum[..., :-1]], axis=-1
-        ),
-        tj,
-        axis=-1,
-    )  # hits before the tile (..., k)
-    tiles = jnp.take_along_axis(
-        h, tj[..., None], axis=-2
+    # per-slot tile extraction as one-hot matmuls (MXU) — dynamic gathers
+    # along the tile axis lower poorly on TPU. Counts < 2^24 so f32 matmul
+    # accumulation is exact.
+    onehot = jax.nn.one_hot(tj, t, dtype=jnp.float32)  # (..., k, t)
+    excl = jnp.concatenate(
+        [jnp.zeros_like(tile_cum[..., :1]), tile_cum[..., :-1]], axis=-1
+    )
+    base = jnp.einsum(
+        "...kt,...t->...k", onehot, excl.astype(jnp.float32)
+    ).astype(jnp.int32)  # hits before the tile (..., k)
+    tiles = jnp.einsum(
+        "...kt,...tl->...kl", onehot, h.astype(jnp.float32)
     )  # (..., k, tile)
-    local_cs = jnp.cumsum(tiles.astype(jnp.int32), axis=-1)
-    r = (js + 1 - base)[..., None]  # local target rank
+    local_cs = jnp.cumsum(tiles, axis=-1)
+    r = (js + 1 - base)[..., None].astype(jnp.float32)  # local target rank
     pos_local = jnp.sum((local_cs < r).astype(jnp.int32), axis=-1)
     pos = tj * tile + pos_local
     pad = jnp.where(count > 0, pos[..., 0:1], 0)
