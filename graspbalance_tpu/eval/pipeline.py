@@ -1,0 +1,91 @@
+"""End-to-end inference pipeline.
+
+The reference ships no eval/demo driver (SURVEY.md §0: decode, NMS and
+collision filtering exist but nothing strings them together); this module
+supplies it, with everything up to the final host copy running on device:
+
+  cloud -> [DSN -> mean-shift clustering] -> GraspBalance forward with
+  object-balanced re-seeding -> pred_decode -> grasp NMS -> collision
+  filter -> (G, 17) grasp arrays + keep masks.
+
+`to_grasp_group_array` emits the 17-column layout graspnetAPI's GraspGroup
+reads directly (GraspGroup(np_array) / .save_npy), so AP evaluation runs
+with the stock `graspnetAPI.GraspNetEval` once that package and the dataset
+are present.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from graspbalance_tpu.eval.collision import collision_detect
+from graspbalance_tpu.eval.nms import grasp_nms
+from graspbalance_tpu.models.decode import pred_decode
+from graspbalance_tpu.models.dsn import DSN, cluster
+
+
+class GraspInference:
+    """Bundles a trained GraspBalance (+ optional DSN) for scene inference."""
+
+    def __init__(self, model, variables, dsn: DSN | None = None, dsn_variables=None,
+                 use_obs: bool = False, collision_thresh: float = 0.05):
+        self.model = model
+        self.variables = variables
+        self.dsn = dsn
+        self.dsn_variables = dsn_variables
+        self.use_obs = use_obs and dsn is not None
+        self.collision_thresh = collision_thresh
+
+        @jax.jit
+        def _forward(variables, batch):
+            ep = model.apply(variables, batch, train=False)
+            grasps, valid = pred_decode(ep)
+            return grasps, valid
+
+        self._forward = _forward
+
+        if self.use_obs:
+            @jax.jit
+            def _segment(dsn_vars, cloud, rng):
+                ep = dsn.apply(dsn_vars, cloud, train=False)
+                fg = jnp.argmax(ep["foreground_logits"], axis=-1) == 1
+                labels, _, _ = cluster(
+                    cloud[..., :3], ep["center_offsets"], fg, rng
+                )
+                return labels
+
+            self._segment = _segment
+
+        @jax.jit
+        def _postprocess(grasps, valid, scene):
+            b = grasps.shape[0]
+
+            def one(g, v, s):
+                keep = grasp_nms(g, v)
+                coll = collision_detect(s, g)
+                return keep & ~coll
+
+            return jax.vmap(one)(grasps, valid, scene)
+
+        self._postprocess = _postprocess
+
+    def __call__(self, cloud: jnp.ndarray, rng=None) -> tuple[np.ndarray, np.ndarray]:
+        """cloud (B, N, 3) -> (grasps (B, Ns, 17) np, keep (B, Ns) np)."""
+        batch = {"point_clouds": cloud}
+        if self.use_obs:
+            rng = rng if rng is not None else jax.random.PRNGKey(0)
+            batch["seed_cluster"] = self._segment(self.dsn_variables, cloud, rng)
+        grasps, valid = self._forward(self.variables, batch)
+        keep = self._postprocess(grasps, valid, cloud[..., :3])
+        return np.asarray(grasps), np.asarray(keep)
+
+
+def to_grasp_group_array(grasps: np.ndarray, keep: np.ndarray) -> np.ndarray:
+    """(Ns, 17), (Ns,) -> (G, 17) float32 rows in graspnetAPI GraspGroup
+    column order [score, width, height, depth, rotation(9), translation(3),
+    object_id] — feed to GraspGroup(arr) or np.save for eval."""
+    return grasps[keep].astype(np.float32)

@@ -97,13 +97,23 @@ class GraspBalance(nn.Module):
 
         seed_xyz = ep["fp2_xyz"]
         seed_features = ep["fp2_features"]
-        # OBS re-seeding happens outside the module (eval/obs.py) because it
-        # needs the DSN clustering result; it replaces fp2_* in `batch`.
-        if "obs_fp2_xyz" in batch:
+        # OBS re-seeding (inference): given a DSN instance clustering in
+        # batch['seed_cluster'], upsample seed features to the full cloud
+        # and re-seed with an equal per-object budget
+        # (graspbalance.py:36-46 + modules.py:178-221).
+        if "seed_cluster" in batch:
+            from graspbalance_tpu.eval.obs import object_balance_sampling
+            from graspbalance_tpu.ops.interpolate import interpolate_features
+
+            up = interpolate_features(ep["input_xyz"], seed_xyz, seed_features)
+            ep["up_sample_features"] = up
+            obs_xyz, obs_feats, obs_inds = object_balance_sampling(
+                ep["input_xyz"], up, batch["seed_cluster"], num_seed=self.num_seed
+            )
             ep["fp2_inds_fps"] = ep["fp2_inds"]
-            seed_xyz = ep["fp2_xyz"] = batch["obs_fp2_xyz"]
-            seed_features = ep["fp2_features"] = batch["obs_fp2_features"]
-            ep["fp2_inds"] = batch["obs_fp2_inds"]
+            seed_xyz = ep["fp2_xyz"] = obs_xyz
+            seed_features = ep["fp2_features"] = obs_feats
+            ep["fp2_inds"] = obs_inds
 
         ep.update(
             GraspableDetection(

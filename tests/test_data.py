@@ -1,0 +1,193 @@
+"""Data pipeline tests: loader contract on a fabricated mini-dataset,
+native library parity, host utilities."""
+
+import os
+
+import numpy as np
+import pytest
+
+from graspbalance_tpu.data import native
+from graspbalance_tpu.data.dataset import (
+    GraspNetDataset,
+    collate,
+    load_grasp_labels,
+)
+from graspbalance_tpu.data.utils import (
+    CameraInfo,
+    augment_flip_rot,
+    create_point_cloud_from_depth_image,
+    get_workspace_mask,
+    remove_invisible_grasp_points,
+)
+from tests import oracles
+
+
+def fabricate_dataset(root, n_scenes=1, n_frames=2, n_objects=3, rng=None):
+    """Write a minimal GraspNet-1B-shaped tree: clean_scenes npys, meta
+    mats, grasp_label npzs, collision labels, tolerance."""
+    import scipy.io as scio
+
+    rng = rng or np.random.default_rng(0)
+    v, a, d = 30, 12, 4
+    np_obj = 120
+    os.makedirs(os.path.join(root, "grasp_label"), exist_ok=True)
+    os.makedirs(os.path.join(root, "tolerance"), exist_ok=True)
+    for i in range(n_objects):
+        pts = (rng.random((np_obj, 3), np.float32) - 0.5) * 0.06
+        offsets = rng.random((np_obj, v, a, d, 3)).astype(np.float32) * 0.1
+        scores = rng.random((np_obj, v, a, d)).astype(np.float32)
+        np.savez(
+            os.path.join(root, "grasp_label", f"{i:03d}_labels.npz"),
+            points=pts, offsets=offsets, scores=scores,
+        )
+        np.save(
+            os.path.join(root, "tolerance", f"{i:03d}_tolerance.npy"),
+            rng.random((np_obj, v, a, d)).astype(np.float32) * 0.05,
+        )
+
+    for s in range(n_scenes):
+        scene = f"scene_{s:04d}"
+        base = os.path.join(root, "scenes", scene, "realsense")
+        for sub in ("depth", "label", "meta"):
+            os.makedirs(os.path.join(base, sub), exist_ok=True)
+        cbase = os.path.join(root, "clean_scenes", scene, "realsense")
+        for sub in ("points", "seg"):
+            os.makedirs(os.path.join(cbase, sub), exist_ok=True)
+        coll_dir = os.path.join(root, "collision_label", scene)
+        os.makedirs(coll_dir, exist_ok=True)
+        colls = {
+            f"arr_{i}": rng.random((np_obj, v, a, d)) < 0.3
+            for i in range(n_objects)
+        }
+        np.savez(os.path.join(coll_dir, "collision_labels.npz"), **colls)
+
+        for f in range(n_frames):
+            n_pts = 3000
+            centers = (rng.random((n_objects, 3), np.float32) - 0.5) * 0.3
+            centers[:, 2] += 0.5
+            pts, seg = [], []
+            for i in range(n_objects):
+                p = (rng.random((600, 3), np.float32) - 0.5) * 0.06 + centers[i]
+                pts.append(p)
+                seg.append(np.full(600, i + 1, np.int32))
+            table = (rng.random((n_pts - 600 * n_objects, 3), np.float32) - 0.5)
+            table[:, 2] = 0.55
+            pts.append(table)
+            seg.append(np.zeros(len(table), np.int32))
+            cloud = np.concatenate(pts)
+            seg = np.concatenate(seg)
+            np.save(os.path.join(cbase, "points", f"{f:04d}.npy"), cloud)
+            np.save(os.path.join(cbase, "seg", f"{f:04d}.npy"), seg)
+            # depth frame placeholder (unused by the clean path)
+            from PIL import Image
+
+            Image.fromarray(np.zeros((8, 8), np.uint16)).save(
+                os.path.join(base, "depth", f"{f:04d}.png")
+            )
+            poses = np.zeros((3, 4, n_objects), np.float32)
+            for i in range(n_objects):
+                poses[:, :3, i] = np.eye(3)
+                poses[:, 3, i] = centers[i]
+            scio.savemat(
+                os.path.join(base, "meta", f"{f:04d}.mat"),
+                {
+                    "cls_indexes": np.arange(1, n_objects + 1).reshape(-1, 1),
+                    "poses": poses,
+                    "intrinsic_matrix": np.array(
+                        [[600.0, 0, 4], [0, 600.0, 4], [0, 0, 1]]
+                    ),
+                    "factor_depth": np.array([[1000.0]]),
+                },
+            )
+    return root
+
+
+class TestLoader:
+    @pytest.fixture(scope="class")
+    def ds(self, tmp_path_factory):
+        root = str(tmp_path_factory.mktemp("graspnet"))
+        fabricate_dataset(root)
+        valid, labels = load_grasp_labels(root)
+        return GraspNetDataset(
+            root, valid, labels,
+            camera="realsense", split="all", num_points=2048,
+            max_objects=4, max_grasp_points=256,
+            remove_outlier=False, remove_invisible=True,
+        )
+
+    def test_contract_shapes(self, ds):
+        item = ds[0]
+        assert item["point_clouds"].shape == (2048, 3)
+        assert item["objectness_label"].shape == (2048,)
+        assert item["object_poses"].shape == (4, 3, 4)
+        assert item["grasp_points"].shape == (256, 3)
+        assert item["grasp_labels"].shape[0] == 256
+        assert item["grasp_labels"].shape[1:] == (30, 12, 4)
+        assert item["obj_mask"].sum() >= 1
+        assert item["grasp_pt_mask"].sum() >= 100
+
+    def test_labels_reference_objects(self, ds):
+        item = ds[0]
+        used = item["grasp_pt_obj"][item["grasp_pt_mask"]]
+        assert used.max() < item["obj_mask"].sum()
+
+    def test_collate(self, ds):
+        batch = collate([ds[0], ds[1]])
+        assert batch["point_clouds"].shape == (2, 2048, 3)
+        assert batch["grasp_labels"].shape == (2, 256, 30, 12, 4)
+
+
+class TestHostUtils:
+    def test_depth_projection(self, rng):
+        depth = (rng.random((16, 16)) * 1000).astype(np.uint16)
+        cam = CameraInfo(16, 16, 600.0, 600.0, 8.0, 8.0, 1000.0)
+        cloud = create_point_cloud_from_depth_image(depth, cam)
+        assert cloud.shape == (16, 16, 3)
+        np.testing.assert_allclose(cloud[..., 2], depth / 1000.0)
+        # native parity
+        if native.available():
+            nat = native.depth_to_cloud(depth, 600.0, 600.0, 8.0, 8.0, 1000.0)
+            np.testing.assert_allclose(nat, cloud, atol=1e-6)
+
+    def test_workspace_mask(self, rng):
+        cloud = rng.random((100, 3), dtype=np.float32)
+        seg = np.zeros(100, np.int32)
+        seg[40:60] = 1
+        # strict-inequality bbox (data_utils.py:66-68): the extreme
+        # foreground points need a nonzero outlier margin to be included
+        mask = get_workspace_mask(cloud, seg, organized=False, outlier=0.01)
+        assert mask[40:60].all()
+
+    def test_augment_consistency(self, rng):
+        """Transformed label points must land on transformed cloud points."""
+        cloud = rng.random((50, 3), dtype=np.float32)
+        pose = np.zeros((1, 3, 4), np.float32)
+        pose[0, :, :3] = np.eye(3)
+        pose[0, :, 3] = cloud[7]  # object at cloud point 7
+        c2, p2, _ = augment_flip_rot(cloud, pose, rng)
+        np.testing.assert_allclose(p2[0, :, 3], c2[7], atol=1e-5)
+
+
+class TestNative:
+    @pytest.mark.skipif(not native.available(), reason="native lib not built")
+    def test_fps_parity(self, rng):
+        pts = (rng.random((500, 3), dtype=np.float32) - 0.5)
+        got = native.host_fps(pts, 64)
+        want = oracles.fps_oracle(pts, 64)
+        np.testing.assert_array_equal(got, want)
+
+    @pytest.mark.skipif(not native.available(), reason="native lib not built")
+    def test_visibility_parity(self, rng):
+        cloud = rng.random((300, 3), dtype=np.float32)
+        gp = rng.random((100, 3), dtype=np.float32)
+        pose = np.eye(4, dtype=np.float32)[:3]
+        got = native.visibility_mask(cloud, gp, pose, 0.05)
+        want = remove_invisible_grasp_points(cloud, gp, pose, 0.05)
+        np.testing.assert_array_equal(got, want)
+
+    @pytest.mark.skipif(not native.available(), reason="native lib not built")
+    def test_voxel_downsample_counts(self, rng):
+        pts = rng.random((1000, 3)).astype(np.float32) * 0.05
+        out = native.voxel_downsample(pts, 0.01)
+        vox = np.floor(pts / 0.01).astype(int)
+        assert len(out) == len(np.unique(vox, axis=0))
