@@ -1,0 +1,114 @@
+"""Inference CLI: scenes -> decoded grasp arrays (+ optional graspnetAPI
+dump for AP evaluation).
+
+The reference repo has no committed eval/demo driver (SURVEY.md §0); this is
+that driver. With --dataset_root it runs over GraspNet-1B test scenes and
+writes per-frame (G, 17) npy files in the layout graspnetAPI's GraspNetEval
+consumes (dump_folder/scene_xxxx/<camera>/xxxx.npy); without it, it runs a
+synthetic smoke scene.
+"""
+
+import argparse
+import os
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--checkpoint_dir", default="", help="orbax checkpoint dir")
+    p.add_argument("--dataset_root", default="")
+    p.add_argument("--camera", default="realsense")
+    p.add_argument("--split", default="test_seen")
+    p.add_argument("--dump_dir", default="logs/dump")
+    p.add_argument("--num_point", type=int, default=20000)
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--obs", action="store_true", help="object-balanced sampling (needs DSN ckpt)")
+    p.add_argument("--collision_thresh", type=float, default=0.05)
+    p.add_argument("--max_scenes", type=int, default=0)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+    import jax.numpy as jnp
+
+    from graspbalance_tpu.train.config import Config, DataConfig
+    from graspbalance_tpu.train.train_step import build_model
+    from graspbalance_tpu.eval.pipeline import GraspInference, to_grasp_group_array
+
+    cfg = Config(data=DataConfig(num_points=args.num_point))
+    model = build_model(cfg)
+
+    rng = np.random.default_rng(0)
+    sample_cloud = jnp.asarray(
+        rng.random((1, args.num_point, 3), dtype=np.float32) - 0.5
+    )
+    variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
+        jax.random.PRNGKey(0), {"point_clouds": sample_cloud}
+    )
+    if args.checkpoint_dir:
+        import orbax.checkpoint as ocp
+
+        mgr = ocp.CheckpointManager(os.path.abspath(args.checkpoint_dir))
+        step = mgr.latest_step()
+        restored = mgr.restore(
+            step,
+            args=ocp.args.StandardRestore(
+                {
+                    "step": 0,
+                    "params": variables["params"],
+                    "batch_stats": variables["batch_stats"],
+                    "opt_state": None,
+                }
+            ),
+        )
+        variables = {
+            "params": restored["params"],
+            "batch_stats": restored["batch_stats"],
+        }
+        print(f"restored checkpoint step {step}")
+
+    infer = GraspInference(model, variables, collision_thresh=args.collision_thresh)
+
+    if not args.dataset_root:
+        from graspbalance_tpu.data.synthetic import SceneConfig, make_batch
+
+        batch = make_batch(0, args.batch_size, SceneConfig(num_points=args.num_point))
+        grasps, keep = infer(jnp.asarray(batch["point_clouds"]))
+        print(f"synthetic smoke: {keep.sum()} grasps kept of {keep.size}")
+        return
+
+    from graspbalance_tpu.data.dataset import GraspNetDataset, collate
+
+    ds = GraspNetDataset(
+        args.dataset_root, [], {}, camera=args.camera, split=args.split,
+        num_points=args.num_point, load_label=False,
+    )
+    os.makedirs(args.dump_dir, exist_ok=True)
+    n = len(ds) if not args.max_scenes else min(len(ds), args.max_scenes * 256)
+    for i in range(0, n, args.batch_size):
+        items = [ds[j] for j in range(i, min(i + args.batch_size, n))]
+        batch = collate(items)
+        grasps, keep = infer(jnp.asarray(batch["point_clouds"]))
+        for j, item_idx in enumerate(range(i, min(i + args.batch_size, n))):
+            scene, frame = ds.samples[item_idx]
+            out_dir = os.path.join(args.dump_dir, scene, args.camera)
+            os.makedirs(out_dir, exist_ok=True)
+            np.save(
+                os.path.join(out_dir, f"{frame:04d}.npy"),
+                to_grasp_group_array(grasps[j], keep[j]),
+            )
+        if (i // args.batch_size) % 10 == 0:
+            print(f"{i + len(items)}/{n}")
+    print(
+        "done. evaluate with graspnetAPI:\n"
+        "  from graspnetAPI import GraspNetEval\n"
+        f"  ge = GraspNetEval(root='{args.dataset_root}', camera='{args.camera}', split='{args.split}')\n"
+        f"  ge.eval_seen('{args.dump_dir}', proc=24)"
+    )
+
+
+if __name__ == "__main__":
+    main()
