@@ -30,31 +30,64 @@ from graspbalance_tpu.nn.sa_fp import SetAbstraction, FeaturePropagation
 
 
 class LocalAggregation(nn.Module):
-    """Ball-query neighborhood aggregation (TrainModel/drp.py:32-67).
+    """Local neighborhood aggregation (TrainModel/drp.py:32-67 +
+    ModifiedNetTools/group.py:225-253).
 
-    feature_type 'dp_fj': concat relative xyz (3) with neighbor features,
-    one conv block (with BN+ReLU, the reference's last_act=True default),
-    max-pool over neighbors.
+    grouper: 'ballquery' (live config) or 'knn'. feature_type follows
+    get_aggregation_feautres: 'dp_fj' (live), 'dp_fj_df', 'pi_dp_fj_df',
+    'dp_df'. reduction: 'max' (live), 'mean', 'sum'. One conv block with
+    BN+ReLU (the reference's last_act=True default), then the reduction
+    over neighbors.
     """
 
     channels: int
     radius: float
     nsample: int
+    grouper: str = "ballquery"
+    feature_type: str = "dp_fj"
+    reduction: str = "max"
     query_order: str = "index"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, xyz, feats, *, train: bool, bn_momentum=0.1):
-        idx = ops.ball_query(
-            xyz, xyz, self.radius, self.nsample, order=self.query_order
-        )
+        if self.grouper == "ballquery":
+            idx = ops.ball_query(
+                xyz, xyz, self.radius, self.nsample, order=self.query_order
+            )
+        elif self.grouper == "knn":
+            _, idx = ops.knn(xyz, xyz, self.nsample)
+        else:
+            raise ValueError(f"unknown grouper {self.grouper}")
         dp = ops.group_points(xyz, idx) - xyz[:, :, None, :]  # (B,N,K,3)
         fj = ops.group_points(feats, idx)  # (B,N,K,C)
-        grouped = jnp.concatenate([dp.astype(fj.dtype), fj], axis=-1)
+        dp = dp.astype(fj.dtype)
+        if self.feature_type == "dp_fj":
+            grouped = jnp.concatenate([dp, fj], axis=-1)
+        elif self.feature_type == "dp_fj_df":
+            df = fj - feats[:, :, None, :]
+            grouped = jnp.concatenate([dp, fj, df], axis=-1)
+        elif self.feature_type == "pi_dp_fj_df":
+            df = fj - feats[:, :, None, :]
+            pi = jnp.broadcast_to(
+                xyz[:, :, None, :].astype(fj.dtype), dp.shape
+            )
+            grouped = jnp.concatenate([pi, dp, fj, df], axis=-1)
+        elif self.feature_type == "dp_df":
+            df = fj - feats[:, :, None, :]
+            grouped = jnp.concatenate([dp, df], axis=-1)
+        else:
+            raise ValueError(f"unknown feature_type {self.feature_type}")
         out = MLPBlock(self.channels, dtype=self.dtype, name="conv")(
             grouped, train=train, bn_momentum=bn_momentum
         )
-        return jnp.max(out, axis=2)
+        if self.reduction == "max":
+            return jnp.max(out, axis=2)
+        if self.reduction in ("mean", "avg"):
+            return jnp.mean(out, axis=2)
+        if self.reduction == "sum":
+            return jnp.sum(out, axis=2)
+        raise ValueError(f"unknown reduction {self.reduction}")
 
 
 class InvResMLP(nn.Module):

@@ -54,6 +54,8 @@ class GraspBalance(nn.Module):
     hmax_list: Sequence[float] = (0.01, 0.02, 0.03, 0.04)
     backbone: str = "drp"  # 'drp' | 'pointnet2'
     backbone_stages: tuple | None = None  # override stage table (tests/configs)
+    multi_scale: bool = True  # multi-scale stage 2 w/ gated fusion (live
+    # config, graspbalance.py:77-119) vs plain single-scale (:52-74)
     num_seed: int = 1024
     query_order: str = "index"
     dtype: jnp.dtype = jnp.float32
@@ -137,23 +139,29 @@ class GraspBalance(nn.Module):
             cylinder_radius=self.cylinder_radius,
             hmin=self.hmin,
             hmax_list=tuple(self.hmax_list),
+            scales=(0.25, 0.5, 0.75, 1.0) if self.multi_scale else (1.0,),
             query_order=self.query_order,
             dtype=self.dtype,
             name="width_grouping",
         )(
             stage2_seed_xyz, ep["input_xyz"], stage2_rot,
             train=train, bn_momentum=bn_momentum,
-        )  # (B, Ns, D, 4*256)
-        vp = nn.Dense(
-            256, dtype=self.dtype, param_dtype=jnp.float32, name="fuse_multi_scale"
-        )(vp)
-        gate = nn.sigmoid(
-            nn.Dense(
-                256, dtype=self.dtype, param_dtype=jnp.float32, name="gate_fusion"
-            )(seed_features)
-        )
-        gated = (gate * seed_features.astype(gate.dtype))[:, :, None, :]
-        vp_features = vp + gated  # (B, Ns, D, 256)
+        )  # (B, Ns, D, n_scales*256)
+        if self.multi_scale:
+            vp = nn.Dense(
+                256, dtype=self.dtype, param_dtype=jnp.float32,
+                name="fuse_multi_scale",
+            )(vp)
+            gate = nn.sigmoid(
+                nn.Dense(
+                    256, dtype=self.dtype, param_dtype=jnp.float32,
+                    name="gate_fusion",
+                )(seed_features)
+            )
+            gated = (gate * seed_features.astype(gate.dtype))[:, :, None, :]
+            vp_features = vp + gated  # (B, Ns, D, 256)
+        else:
+            vp_features = vp  # plain GraspPoseStage2 (graspbalance.py:52-74)
 
         ep.update(
             GraspParametersHead(

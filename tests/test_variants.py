@@ -1,0 +1,92 @@
+"""Variant coverage: focal losses, trilinear sampling, LocalAggregation
+modes, single-scale stage 2, utils."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from graspbalance_tpu.labels.focal import binary_focal_loss, focal_loss
+from graspbalance_tpu.models.drp import LocalAggregation
+from graspbalance_tpu.models.graspbalance import GraspBalance
+from graspbalance_tpu.ops.trilinear import trilinear_sample
+from graspbalance_tpu.utils import count_params, tree_norm
+from graspbalance_tpu.data.synthetic import make_batch
+from tests.tiny import TINY_NUM_SEED, TINY_NUM_VIEW, TINY_SCENE, TINY_STAGES
+
+
+class TestFocal:
+    def test_focal_reduces_easy_examples(self, rng):
+        target = jnp.asarray(rng.integers(0, 3, 50).astype(np.int32))
+        confident = jax.nn.one_hot(target, 3) * 10.0
+        uncertain = jnp.zeros((50, 3))
+        assert float(focal_loss(confident, target)) < float(
+            focal_loss(uncertain, target)
+        )
+
+    def test_focal_gamma_zero_close_to_ce(self, rng):
+        logits = jnp.asarray(rng.standard_normal((20, 4), dtype=np.float32))
+        target = jnp.asarray(rng.integers(0, 4, 20).astype(np.int32))
+        fl = float(focal_loss(logits, target, gamma=0.0, smooth=0.0))
+        ce = float(
+            jnp.mean(
+                -jnp.take_along_axis(
+                    jax.nn.log_softmax(logits), target[:, None], axis=-1
+                )
+            )
+        )
+        np.testing.assert_allclose(fl, ce, rtol=1e-5)
+
+    def test_binary_focal_finite(self, rng):
+        logits = jnp.asarray(rng.standard_normal(100, dtype=np.float32))
+        target = jnp.asarray((rng.random(100) > 0.5).astype(np.float32))
+        loss = float(binary_focal_loss(logits, target))
+        assert np.isfinite(loss) and loss > 0
+
+
+class TestTrilinear:
+    def test_exact_at_corners(self, rng):
+        vol = jnp.asarray(rng.random((1, 3, 4, 5, 2), dtype=np.float32))
+        pts = jnp.asarray([[[0.0, 0.0, 0.0], [1.0, 1.0, 1.0]]])
+        out = np.asarray(trilinear_sample(vol, pts))
+        np.testing.assert_allclose(out[0, 0], np.asarray(vol)[0, 0, 0, 0], atol=1e-6)
+        np.testing.assert_allclose(out[0, 1], np.asarray(vol)[0, 2, 3, 4], atol=1e-6)
+
+    def test_linear_in_between(self):
+        vol = jnp.zeros((1, 2, 1, 1, 1)).at[0, 1, 0, 0, 0].set(1.0)
+        pts = jnp.asarray([[[0.5, 0.0, 0.0]]])
+        out = float(trilinear_sample(vol, pts)[0, 0, 0])
+        np.testing.assert_allclose(out, 0.5, atol=1e-6)
+
+
+class TestLocalAggVariants:
+    @pytest.mark.parametrize("ft", ["dp_fj", "dp_fj_df", "pi_dp_fj_df", "dp_df"])
+    @pytest.mark.parametrize("grouper", ["ballquery", "knn"])
+    def test_forward(self, rng, ft, grouper):
+        xyz = jnp.asarray(rng.random((1, 64, 3), dtype=np.float32))
+        feats = jnp.asarray(rng.random((1, 64, 8), dtype=np.float32))
+        mod = LocalAggregation(
+            channels=8, radius=0.3, nsample=4, grouper=grouper, feature_type=ft
+        )
+        v = mod.init(jax.random.PRNGKey(0), xyz, feats, train=False)
+        out = mod.apply(v, xyz, feats, train=False)
+        assert out.shape == (1, 64, 8)
+        assert np.isfinite(np.asarray(out)).all()
+
+
+class TestSingleScale:
+    def test_forward_and_params(self):
+        batch = make_batch(3, 1, TINY_SCENE)
+        cloud = jnp.asarray(batch["point_clouds"])
+        m = GraspBalance(
+            num_view=TINY_NUM_VIEW, backbone_stages=TINY_STAGES,
+            num_seed=TINY_NUM_SEED, multi_scale=False,
+        )
+        v = m.init(jax.random.PRNGKey(0), {"point_clouds": cloud}, train=False)
+        # no fuse/gate params in single-scale mode
+        assert "fuse_multi_scale" not in v["params"]
+        assert "gate_fusion" not in v["params"]
+        ep = m.apply(v, {"point_clouds": cloud}, train=False)
+        assert ep["grasp_score_pred"].shape == (1, TINY_NUM_SEED, 12, 4)
+        assert count_params(v["params"]) > 0
+        assert float(tree_norm(v["params"])) > 0
