@@ -20,8 +20,15 @@ BASELINE_CLOUDS_PER_SEC = 12.0  # estimated V100 torch reference (see docstring)
 
 
 def main():
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    # persistent compile cache: repeated driver runs skip the ~2 min compile
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from graspbalance_tpu.train.config import Config
     from graspbalance_tpu.train.train_step import build_model

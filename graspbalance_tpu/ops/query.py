@@ -111,19 +111,22 @@ def _select(hit: jnp.ndarray, d2: jnp.ndarray, nsample: int, order: str) -> jnp.
 
 
 def _chunked_centers(fn, centers_like, chunk: int):
-    """Run fn over center chunks of a pytree whose leaves lead with the m axis."""
+    """Run fn over center chunks of a pytree whose leaves lead with the m
+    axis. Statically unrolled (few chunks; a lax.map here nests a scan under
+    vmap, which the TPU compiler handles far worse than the flat unroll)."""
     m = jax.tree_util.tree_leaves(centers_like)[0].shape[0]
     m_pad = _round_up(m, chunk)
     padded = jax.tree_util.tree_map(
         lambda a: jnp.pad(a, [(0, m_pad - m)] + [(0, 0)] * (a.ndim - 1)), centers_like
     )
-    reshaped = jax.tree_util.tree_map(
-        lambda a: a.reshape((m_pad // chunk, chunk) + a.shape[1:]), padded
-    )
-    out = lax.map(fn, reshaped)
-    out = jax.tree_util.tree_map(
-        lambda a: a.reshape((m_pad,) + a.shape[2:])[:m], out
-    )
+    outs = []
+    for i in range(m_pad // chunk):
+        piece = jax.tree_util.tree_map(
+            lambda a: lax.slice_in_dim(a, i * chunk, (i + 1) * chunk, axis=0),
+            padded,
+        )
+        outs.append(fn(piece))
+    out = jnp.concatenate(outs, axis=0)[:m]
     return out
 
 
@@ -283,9 +286,11 @@ def _chunked_centers_leading(fn, centers_like, chunk, n_r, n_h, nsample):
     padded = jax.tree_util.tree_map(
         lambda a: jnp.pad(a, [(0, m_pad - m)] + [(0, 0)] * (a.ndim - 1)), centers_like
     )
-    reshaped = jax.tree_util.tree_map(
-        lambda a: a.reshape((m_pad // chunk, chunk) + a.shape[1:]), padded
-    )
-    out = lax.map(fn, reshaped)  # (nchunk, R, H, chunk, k)
-    out = jnp.moveaxis(out, 0, 2).reshape(n_r, n_h, m_pad, nsample)[:, :, :m]
-    return out
+    outs = []
+    for i in range(m_pad // chunk):
+        piece = jax.tree_util.tree_map(
+            lambda a: lax.slice_in_dim(a, i * chunk, (i + 1) * chunk, axis=0),
+            padded,
+        )
+        outs.append(fn(piece))  # (R, H, chunk, k)
+    return jnp.concatenate(outs, axis=2)[:, :, :m]
