@@ -97,8 +97,14 @@ class GraspNetDataset:
         ncm: bool = False,
         load_label: bool = True,
         precompute_fps: int = 0,
+        paired: bool = False,
+        return_center_offsets: bool = False,
         seed: int = 0,
     ):
+        """`paired`: also return the clean (noise-free) cloud for the same
+        frame (GraspPoseDataset_Align, graspnet_wonoise_dataset.py:499-769).
+        `return_center_offsets`: host-computed per-point vectors to each
+        instance centroid (GraspPoseSegDataset's 3D_offsets, :392-496)."""
         assert num_points <= 50000
         self.root = root
         self.camera = camera
@@ -109,6 +115,8 @@ class GraspNetDataset:
         self.remove_invisible = remove_invisible
         self.augment = augment
         self.ncm = ncm
+        self.paired = paired
+        self.return_center_offsets = return_center_offsets
         self.load_label = load_label
         self.precompute_fps = precompute_fps
         self.valid_obj_idxs = set(valid_obj_idxs)
@@ -295,6 +303,23 @@ class GraspNetDataset:
             "point_clouds": cloud_s.astype(np.float32),
             "objectness_label": (seg_s > 0).astype(np.int32),
             "instance_label": seg_s.astype(np.int32),
+        }
+        if self.paired:
+            try:
+                ccloud, _ = self._load_clean(scene, frame)
+                cidx = sample_points(len(ccloud), self.num_points, rng)
+                item["clean_point_clouds"] = ccloud[cidx].astype(np.float32)
+            except FileNotFoundError:
+                item["clean_point_clouds"] = cloud_s.astype(np.float32)
+        if self.return_center_offsets:
+            offsets = np.zeros_like(cloud_s)
+            for obj in np.unique(seg_s):
+                if obj == 0:
+                    continue
+                m = seg_s == obj
+                offsets[m] = cloud_s[m].mean(axis=0) - cloud_s[m]
+            item["center_offset_label"] = offsets.astype(np.float32)
+        item.update({
             "object_poses": out_poses,
             "obj_mask": obj_mask,
             "grasp_points": g_pts,
@@ -303,7 +328,7 @@ class GraspNetDataset:
             "grasp_labels": g_lab,
             "grasp_widths": g_wid,
             "grasp_tolerance": g_tol,
-        }
+        })
         if self.precompute_fps:
             from graspbalance_tpu.data.native import host_fps
 

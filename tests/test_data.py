@@ -191,3 +191,28 @@ class TestNative:
         out = native.voxel_downsample(pts, 0.01)
         vox = np.floor(pts / 0.01).astype(int)
         assert len(out) == len(np.unique(vox, axis=0))
+
+
+class TestDatasetVariants:
+    def test_paired_and_offsets(self, tmp_path_factory):
+        root = str(tmp_path_factory.mktemp("gn2"))
+        fabricate_dataset(root)
+        valid, labels = load_grasp_labels(root)
+        ds = GraspNetDataset(
+            root, valid, labels, camera="realsense", split="all",
+            num_points=1024, max_objects=4, max_grasp_points=256,
+            remove_outlier=False, remove_invisible=False,
+            paired=True, return_center_offsets=True,
+        )
+        item = ds[0]
+        assert item["clean_point_clouds"].shape == (1024, 3)
+        assert item["center_offset_label"].shape == (1024, 3)
+        seg = item["instance_label"]
+        pc = item["point_clouds"]
+        off = item["center_offset_label"]
+        obj = seg[seg > 0][0]
+        m = seg == obj
+        np.testing.assert_allclose(
+            pc[m] + off[m], np.tile(pc[m].mean(0), (m.sum(), 1)), atol=1e-5
+        )
+        np.testing.assert_allclose(off[seg == 0], 0.0)
