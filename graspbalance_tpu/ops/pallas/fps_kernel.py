@@ -77,8 +77,99 @@ def _fps_kernel(xyz_ref, out_ref, *, num_samples: int, n_actual: int, skip_origi
     out_ref[0] = carry[1]
 
 
-@functools.partial(jax.jit, static_argnames=("num_samples", "skip_origin"))
-def fps_pallas(xyz: jnp.ndarray, num_samples: int, *, skip_origin: bool = True) -> jnp.ndarray:
+def _fps_kernel_2d(xyz_ref, out_ref, *, num_samples: int, n_actual: int,
+                   skip_origin: bool, rows: int):
+    """2D-layout variant: coordinates live as (rows, n_pad/rows) so per-step
+    reductions use sublanes as well as lanes (~rows x less reduction depth
+    than the (1, N) layout). Point index = r * cols + c."""
+    cols = xyz_ref.shape[-1]
+    x = xyz_ref[0, 0]  # (rows, cols)
+    y = xyz_ref[0, 1]
+    z = xyz_ref[0, 2]
+    row_ids = lax.broadcasted_iota(jnp.int32, (rows, cols), dimension=0)
+    col_ids = lax.broadcasted_iota(jnp.int32, (rows, cols), dimension=1)
+    iota = row_ids * cols + col_ids
+    valid = iota < n_actual
+    if skip_origin:
+        valid = jnp.logical_and(valid, (x * x + y * y + z * z) > _ORIGIN_EPS)
+
+    m_pad = out_ref.shape[-1]
+    iota_m = lax.broadcasted_iota(jnp.int32, (1, m_pad), dimension=1)
+    n_total = rows * cols
+
+    def body(j, carry):
+        dist, out_vec, lx, ly, lz = carry
+        dx = x - lx
+        dy = y - ly
+        dz = z - lz
+        d = dx * dx + dy * dy + dz * dz
+        dist = jnp.minimum(dist, d)
+        cand = jnp.where(valid, dist, -1.0)
+        mx = jnp.max(cand)
+        best = jnp.min(jnp.where(cand == mx, iota, n_total)).astype(jnp.int32)
+        out_vec = jnp.where(iota_m == j, best, out_vec)
+        sel = iota == best
+        nlx = jnp.sum(jnp.where(sel, x, 0.0))
+        nly = jnp.sum(jnp.where(sel, y, 0.0))
+        nlz = jnp.sum(jnp.where(sel, z, 0.0))
+        return dist, out_vec, nlx, nly, nlz
+
+    init = (
+        jnp.full((rows, cols), _INIT_DIST, jnp.float32),
+        jnp.zeros((1, m_pad), jnp.int32),
+        x[0, 0],
+        y[0, 0],
+        z[0, 0],
+    )
+    carry = lax.fori_loop(1, num_samples, body, init)
+    out_ref[0] = carry[1]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_samples", "skip_origin", "rows", "interpret")
+)
+def fps_pallas_2d(
+    xyz: jnp.ndarray, num_samples: int, *, skip_origin: bool = True, rows: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(B, N, 3) -> (B, num_samples) int32; 2D reduction layout."""
+    b, n, _ = xyz.shape
+    n_pad = _round_up(n, rows * _LANES)
+    cols = n_pad // rows
+    xyz_t = jnp.transpose(xyz, (0, 2, 1))  # (B, 3, N)
+    if n_pad != n:
+        xyz_t = jnp.pad(xyz_t, ((0, 0), (0, 0), (0, n_pad - n)))
+    xyz_t = xyz_t.reshape(b, 3, rows, cols)
+    m_pad = _round_up(num_samples, _LANES)
+    kernel = functools.partial(
+        _fps_kernel_2d,
+        num_samples=num_samples,
+        n_actual=n,
+        skip_origin=skip_origin,
+        rows=rows,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 3, rows, cols), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, m_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, 1, m_pad), jnp.int32),
+        interpret=interpret,
+    )(xyz_t)
+    return out[:, 0, :num_samples]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_samples", "skip_origin", "interpret")
+)
+def fps_pallas(xyz: jnp.ndarray, num_samples: int, *, skip_origin: bool = True,
+               interpret: bool = False) -> jnp.ndarray:
     """(B, N, 3) float32 -> (B, num_samples) int32 FPS indices."""
     b, n, _ = xyz.shape
     n_pad = _round_up(n, _LANES)
@@ -100,5 +191,6 @@ def fps_pallas(xyz: jnp.ndarray, num_samples: int, *, skip_origin: bool = True) 
             (1, 1, m_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((b, 1, m_pad), jnp.int32),
+        interpret=interpret,
     )(xyz_t)
     return out[:, 0, :num_samples]

@@ -189,3 +189,25 @@ class TestGatherInterp:
         want[0, 1] = 1.0
         want[0, 2] = 1.0
         np.testing.assert_allclose(np.asarray(grad), want)
+
+
+class TestPallasInterpret:
+    """Pallas kernels in interpreter mode (CPU) vs the oracle."""
+
+    def test_fps_pallas_interpret(self, rng):
+        from graspbalance_tpu.ops.pallas.fps_kernel import fps_pallas
+
+        pts = random_cloud(rng, 2, 300)
+        got = np.asarray(fps_pallas(jnp.asarray(pts), 40, interpret=True))
+        for b in range(2):
+            want = oracles.fps_oracle(pts[b], 40)
+            np.testing.assert_array_equal(got[b], want)
+
+    def test_fps_pallas_2d_interpret(self, rng):
+        from graspbalance_tpu.ops.pallas.fps_kernel import fps_pallas_2d
+
+        pts = random_cloud(rng, 2, 300, pad_origin=20)
+        got = np.asarray(fps_pallas_2d(jnp.asarray(pts), 40, interpret=True))
+        for b in range(2):
+            want = oracles.fps_oracle(pts[b], 40)
+            np.testing.assert_array_equal(got[b], want)
