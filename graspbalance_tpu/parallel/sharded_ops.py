@@ -73,6 +73,5 @@ def sharded_ball_query(
         mesh=mesh,
         in_specs=(P("data", "point"), P("data")),
         out_specs=P("data"),
-        check_rep=False,
     )
     return fn(xyz, centers)
