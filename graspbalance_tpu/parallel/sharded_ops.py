@@ -73,5 +73,6 @@ def sharded_ball_query(
         mesh=mesh,
         in_specs=(P("data", "point"), P("data")),
         out_specs=P("data"),
+        check_vma=False,  # output is replicated over 'point' post all-gather
     )
     return fn(xyz, centers)
