@@ -51,6 +51,12 @@ def _first_k_by_index(hit: jnp.ndarray, nsample: int, tile: int = 256) -> jnp.nd
             hit, [(0, 0)] * (hit.ndim - 1) + [(0, t * tile - n)]
         )
     h = hit.reshape(hit.shape[:-1] + (t, tile))
+    return _first_k_from_tiled(h, nsample)
+
+
+def _first_k_from_tiled(h: jnp.ndarray, nsample: int) -> jnp.ndarray:
+    """(..., T, TILE) bool hits (padding = False) -> (..., nsample) int32."""
+    t, tile = h.shape[-2:]
     tile_cnt = jnp.sum(h.astype(jnp.int32), axis=-1)  # (..., t)
     tile_cum = jnp.cumsum(tile_cnt, axis=-1)  # inclusive (..., t)
     count = tile_cum[..., -1:]
@@ -61,18 +67,22 @@ def _first_k_by_index(hit: jnp.ndarray, nsample: int, tile: int = 256) -> jnp.nd
     )  # (..., k)
     tj = jnp.minimum(tj, t - 1)
     # per-slot tile extraction as one-hot matmuls (MXU) — dynamic gathers
-    # along the tile axis lower poorly on TPU. Counts < 2^24 so f32 matmul
-    # accumulation is exact.
-    onehot = jax.nn.one_hot(tj, t, dtype=jnp.float32)  # (..., k, t)
+    # along the tile axis lower poorly on TPU. The extracted values are hit
+    # bits (0/1) so bf16 accumulation is exact; the prefix-count matvec
+    # carries values up to N and stays f32.
+    onehot16 = jax.nn.one_hot(tj, t, dtype=jnp.bfloat16)  # (..., k, t)
     excl = jnp.concatenate(
         [jnp.zeros_like(tile_cum[..., :1]), tile_cum[..., :-1]], axis=-1
     )
     base = jnp.einsum(
-        "...kt,...t->...k", onehot, excl.astype(jnp.float32)
+        "...kt,...t->...k",
+        onehot16.astype(jnp.float32),
+        excl.astype(jnp.float32),
     ).astype(jnp.int32)  # hits before the tile (..., k)
     tiles = jnp.einsum(
-        "...kt,...tl->...kl", onehot, h.astype(jnp.float32)
-    )  # (..., k, tile)
+        "...kt,...tl->...kl", onehot16, h.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )  # (..., k, tile) of 0/1
     local_cs = jnp.cumsum(tiles, axis=-1)
     r = (js + 1 - base)[..., None].astype(jnp.float32)  # local target rank
     pos_local = jnp.sum((local_cs < r).astype(jnp.int32), axis=-1)
@@ -108,6 +118,33 @@ def _select(hit: jnp.ndarray, d2: jnp.ndarray, nsample: int, order: str) -> jnp.
     if order == "nearest_approx":
         return _nearest_k_approx(hit, d2, nsample)
     raise ValueError(f"unknown query order: {order}")
+
+
+def _multi_first_k(xr, d2, radii, hmin, hmaxs, nsample, tile: int = 256):
+    """First-k-by-index for all len(radii) x len(hmaxs) cylinder combos.
+
+    The rotated coordinates are padded/tiled ONCE (sentinel xr=+inf is a
+    non-hit for every combo); each combo's hit mask then fuses into the
+    tile-count reduction without re-materializing padded copies. (An int8
+    class-coding variant was benchmarked and is SLOWER on TPU v5e — VPU
+    lanes are 32-bit, so narrow types add conversion passes without
+    throughput; see docs/NOTES.md.)
+    """
+    c, n = d2.shape
+    t = _round_up(n, tile) // tile
+    pad = t * tile - n
+    xr_t = jnp.pad(xr, ((0, 0), (0, pad)), constant_values=jnp.inf)
+    d2_t = jnp.pad(d2, ((0, 0), (0, pad)), constant_values=jnp.inf)
+    xr_t = xr_t.reshape(c, t, tile)
+    d2_t = d2_t.reshape(c, t, tile)
+    outs = []
+    for radius in radii:
+        row = []
+        for hmax in hmaxs:
+            hit = (d2_t < radius * radius) & (xr_t > hmin) & (xr_t < hmax)
+            row.append(_first_k_from_tiled(hit, nsample))
+        outs.append(jnp.stack(row, axis=0))
+    return jnp.stack(outs, axis=0)  # (R, H, C, nsample)
 
 
 def _chunked_centers(fn, centers_like, chunk: int):
@@ -256,6 +293,8 @@ def multi_cylinder_query(
     Returns: (B, len(radii), len(hmaxs), M, nsample) int32.
     """
 
+    n_r, n_h = len(radii), len(hmaxs)
+
     def per_batch(pts, ctr, rr):
         def per_chunk(args):
             c, rc = args
@@ -264,6 +303,8 @@ def multi_cylinder_query(
             yr = -jnp.einsum("cnk,ck->cn", delta, rc[:, :, 1])
             zr = -jnp.einsum("cnk,ck->cn", delta, rc[:, :, 2])
             d2 = yr * yr + zr * zr
+            if order == "index":
+                return _multi_first_k(xr, d2, radii, hmin, hmaxs, nsample)
             outs = []
             for radius in radii:
                 row = []
