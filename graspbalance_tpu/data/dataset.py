@@ -34,7 +34,6 @@ from graspbalance_tpu.data.utils import (
     get_workspace_mask,
     remove_invisible_grasp_points,
     sample_points,
-    transform_points,
 )
 
 SPLIT_SCENES = {

@@ -31,7 +31,6 @@ Steps (exactly the reference semantics):
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -19,13 +19,12 @@ TPU-first deviations (semantics-preserving):
 
 from __future__ import annotations
 
-from typing import Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn
 
 from graspbalance_tpu import ops
-from graspbalance_tpu.nn.layers import MLPBlock, SharedMLP
+from graspbalance_tpu.nn.layers import MLPBlock
 from graspbalance_tpu.nn.sa_fp import SetAbstraction, FeaturePropagation
 
 

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from graspbalance_tpu import ops
-from graspbalance_tpu.nn.layers import BatchNorm, MLPBlock, SharedMLP
+from graspbalance_tpu.nn.layers import MLPBlock, SharedMLP
 from graspbalance_tpu.labels.geometry import (
     batch_viewpoint_params_to_matrix,
     generate_grasp_views,

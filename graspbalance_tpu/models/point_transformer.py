@@ -17,13 +17,12 @@ fixed-shape gathers + dense matmuls.
 
 from __future__ import annotations
 
-from typing import Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn
 
 from graspbalance_tpu import ops
-from graspbalance_tpu.nn.layers import BatchNorm, MLPBlock
+from graspbalance_tpu.nn.layers import MLPBlock
 
 
 class VectorAttention(nn.Module):

@@ -11,7 +11,6 @@ so the feature axis sits on TPU lanes; the reference is channels-first.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 

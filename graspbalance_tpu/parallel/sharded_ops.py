@@ -12,9 +12,7 @@ the virtual 8-device CPU mesh.
 
 from __future__ import annotations
 
-import functools
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P

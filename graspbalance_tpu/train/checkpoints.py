@@ -9,8 +9,6 @@ it — train.py:214).
 from __future__ import annotations
 
 import os
-from typing import Any
-
 import jax
 import orbax.checkpoint as ocp
 

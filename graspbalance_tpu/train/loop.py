@@ -10,9 +10,7 @@ from __future__ import annotations
 import time
 from typing import Callable, Iterable
 
-import jax
 import jax.numpy as jnp
-import numpy as np
 
 from graspbalance_tpu.parallel.mesh import make_mesh, shard_batch
 from graspbalance_tpu.train.checkpoints import CheckpointManager

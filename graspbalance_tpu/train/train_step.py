@@ -9,7 +9,6 @@ inserts the gradient all-reduce over ICI.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable
 
 import jax
