@@ -47,18 +47,45 @@ def build_model(cfg: Config) -> GraspBalance:
     )
 
 
+def onecycle_schedule(
+    total_steps: int,
+    max_lr: float,
+    pct_start: float = 0.3,
+    div_factor: float = 25.0,
+    final_div_factor: float = 1e4,
+):
+    """torch.optim.lr_scheduler.OneCycleLR, exactly (cosine strategy):
+    warmup initial=max/div_factor -> max over step_size_up =
+    pct_start*total-1 steps, then anneal to initial/final_div_factor over
+    the remainder; _annealing_cos(start, end, pct) = end +
+    (start-end)/2*(1+cos(pi*pct)). Verified step-for-step against torch in
+    tests/test_torch_parity.py."""
+    initial = max_lr / div_factor
+    min_lr = initial / final_div_factor
+    up = float(pct_start * total_steps) - 1.0
+    down = float(total_steps - up - 1.0)
+
+    def schedule(step):
+        s = jnp.asarray(step, jnp.float32)
+
+        def cos_anneal(start, end, pct):
+            return end + (start - end) / 2.0 * (1.0 + jnp.cos(jnp.pi * pct))
+
+        lr_up = cos_anneal(initial, max_lr, jnp.clip(s / up, 0.0, 1.0))
+        lr_down = cos_anneal(
+            max_lr, min_lr, jnp.clip((s - up) / down, 0.0, 1.0)
+        )
+        return jnp.where(s <= up, lr_up, lr_down)
+
+    return schedule
+
+
 def make_optimizer(cfg: Config, steps_per_epoch: int) -> optax.GradientTransformation:
     """Adam + OneCycle (torch OneCycleLR defaults: pct_start 0.3, cosine,
     div_factor 25, final_div_factor 1e4 — train.py:105-108)."""
     t = cfg.train
     total = max(t.max_epoch * steps_per_epoch, 1)
-    schedule = optax.cosine_onecycle_schedule(
-        transition_steps=total,
-        peak_value=t.learning_rate,
-        pct_start=0.3,
-        div_factor=25.0,
-        final_div_factor=1e4,
-    )
+    schedule = onecycle_schedule(total, t.learning_rate)
     tx = optax.adam(schedule)
     if t.weight_decay:
         tx = optax.chain(optax.add_decayed_weights(t.weight_decay), tx)
