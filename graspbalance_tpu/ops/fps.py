@@ -84,9 +84,11 @@ def furthest_point_sample(
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
-        from graspbalance_tpu.ops.pallas.fps_kernel import fps_pallas
+        from graspbalance_tpu.ops.pallas.fps_kernel import fps_pallas_2d
 
-        return fps_pallas(xyz.astype(jnp.float32), num_samples, skip_origin=skip_origin)
+        return fps_pallas_2d(
+            xyz.astype(jnp.float32), num_samples, skip_origin=skip_origin
+        )
     fn = functools.partial(
         _fps_single_xla, num_samples=num_samples, skip_origin=skip_origin
     )
