@@ -20,19 +20,25 @@ import numpy as np
 
 
 class MetricAggregator:
+    """Windowed mean aggregator. Sums stay as device arrays (lazy adds) so
+    per-step updates never force a host sync — the training pipeline only
+    blocks at flush(), i.e. every log_every steps (the reference's
+    stat_dict += .item() per batch synchronizes every step,
+    train.py:157-160)."""
+
     def __init__(self):
-        self._sums: dict[str, float] = {}
+        self._sums: dict[str, object] = {}
         self._n = 0
 
     def update(self, metrics: dict):
         for k, v in metrics.items():
-            self._sums[k] = self._sums.get(k, 0.0) + float(np.asarray(v))
+            self._sums[k] = v if k not in self._sums else self._sums[k] + v
         self._n += 1
 
     def flush(self) -> dict:
         if self._n == 0:
             return {}
-        out = {k: v / self._n for k, v in self._sums.items()}
+        out = {k: float(np.asarray(v)) / self._n for k, v in self._sums.items()}
         self._sums, self._n = {}, 0
         return out
 

@@ -131,3 +131,16 @@ class TestMultichip:
         import __graft_entry__ as ge
 
         ge.dryrun_multichip(8)
+
+
+class TestMetrics:
+    def test_aggregator_lazy_mean(self):
+        from graspbalance_tpu.train.metrics import MetricAggregator
+
+        agg = MetricAggregator()
+        for i in range(4):
+            agg.update({"loss": jnp.float32(i), "acc": jnp.float32(2 * i)})
+        out = agg.flush()
+        assert out["loss"] == pytest.approx(1.5)
+        assert out["acc"] == pytest.approx(3.0)
+        assert agg.flush() == {}
