@@ -23,6 +23,31 @@ from graspbalance_tpu.train.train_step import (
 )
 
 
+def prefetch(iterable: Iterable[dict], depth: int = 2) -> Iterable[dict]:
+    """Background-thread prefetch: overlaps host-side batch assembly with
+    the device step (the reference relies on DataLoader workers for this)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    stop = object()
+
+    def worker():
+        try:
+            for item in iterable:
+                q.put(item)
+        finally:
+            q.put(stop)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is stop:
+            break
+        yield item
+
+
 def train(
     cfg: Config,
     train_batches: Callable[[int], Iterable[dict]],
@@ -55,7 +80,7 @@ def train(
         for epoch in range(start_epoch, cfg.train.max_epoch):
             agg = MetricAggregator()
             t_epoch = time.time()
-            for i, batch in enumerate(train_batches(epoch)):
+            for i, batch in enumerate(prefetch(train_batches(epoch))):
                 batch = shard_batch(batch, mesh)
                 state, metrics = train_step(state, batch, jnp.int32(epoch))
                 agg.update(metrics)
