@@ -13,7 +13,11 @@ from graspbalance_tpu.nn.layers import (
     SharedMLP,
     bn_momentum_schedule,
 )
-from graspbalance_tpu.nn.sa_fp import SetAbstraction, FeaturePropagation
+from graspbalance_tpu.nn.sa_fp import (
+    SetAbstraction,
+    SetAbstractionMSG,
+    FeaturePropagation,
+)
 
 __all__ = [
     "BatchNorm",
@@ -21,5 +25,6 @@ __all__ = [
     "SharedMLP",
     "bn_momentum_schedule",
     "SetAbstraction",
+    "SetAbstractionMSG",
     "FeaturePropagation",
 ]

@@ -82,6 +82,56 @@ class SetAbstraction(nn.Module):
         return new_xyz, jnp.max(out, axis=2), inds
 
 
+class SetAbstractionMSG(nn.Module):
+    """Multi-scale grouping set abstraction (PointnetSAModuleMSG,
+    pointnet2_modules.py:15-103 — unused by the live model but part of the
+    reference's module surface): one FPS, several (radius, nsample, mlp)
+    branches, features concatenated across scales."""
+
+    npoint: int
+    radii: tuple
+    nsamples: tuple
+    mlps: tuple  # tuple of layer-width tuples, one per scale
+    normalize_xyz: bool = False
+    use_xyz: bool = True
+    query_order: str = "index"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xyz, features=None, *, inds=None, train: bool = False,
+                 bn_momentum=0.1):
+        if inds is None:
+            inds = ops.furthest_point_sample(xyz, self.npoint)
+        new_xyz = ops.gather_points(xyz, inds)
+        outs = []
+        for si, (radius, nsample, mlp) in enumerate(
+            zip(self.radii, self.nsamples, self.mlps)
+        ):
+            idx = ops.ball_query(
+                xyz, new_xyz, radius, nsample, order=self.query_order
+            )
+            grouped_xyz = ops.group_points(xyz, idx) - new_xyz[:, :, None, :]
+            if self.normalize_xyz:
+                grouped_xyz = grouped_xyz / radius
+            if features is not None:
+                grouped_feats = ops.group_points(features, idx)
+                grouped = (
+                    jnp.concatenate(
+                        [grouped_xyz.astype(grouped_feats.dtype), grouped_feats],
+                        axis=-1,
+                    )
+                    if self.use_xyz
+                    else grouped_feats
+                )
+            else:
+                grouped = grouped_xyz
+            f = SharedMLP(mlp, dtype=self.dtype, name=f"mlp{si}")(
+                grouped.astype(self.dtype), train=train, bn_momentum=bn_momentum
+            )
+            outs.append(jnp.max(f, axis=2))
+        return new_xyz, jnp.concatenate(outs, axis=-1), inds
+
+
 class FeaturePropagation(nn.Module):
     """Inverse-distance 3-NN upsampling + skip concat + shared MLP."""
 

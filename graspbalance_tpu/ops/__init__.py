@@ -6,7 +6,7 @@ packages (see /root/reference/PointNet/_ext_src, pointnet2_batch, KNN), with
 the quirks preserved and documented where they are observable downstream.
 """
 
-from graspbalance_tpu.ops.fps import furthest_point_sample
+from graspbalance_tpu.ops.fps import furthest_point_sample, random_sample
 from graspbalance_tpu.ops.query import (
     ball_query,
     cylinder_query,
@@ -18,6 +18,7 @@ from graspbalance_tpu.ops.interpolate import three_interpolate
 
 __all__ = [
     "furthest_point_sample",
+    "random_sample",
     "ball_query",
     "cylinder_query",
     "multi_cylinder_query",

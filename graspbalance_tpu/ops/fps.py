@@ -93,3 +93,16 @@ def furthest_point_sample(
         _fps_single_xla, num_samples=num_samples, skip_origin=skip_origin
     )
     return jax.vmap(fn)(xyz.astype(jnp.float32))
+
+
+def random_sample(xyz: jnp.ndarray, num_samples: int, rng: jax.Array) -> jnp.ndarray:
+    """Uniform random subsampling without replacement (the reference's
+    alternative sampler, ModifiedNetTools/subsample.py random_sample).
+    xyz (B, N, 3) -> (B, num_samples) int32."""
+    b, n, _ = xyz.shape
+    keys = jax.random.split(rng, b)
+    return jax.vmap(
+        lambda k: jax.random.choice(
+            k, n, shape=(num_samples,), replace=False
+        ).astype(jnp.int32)
+    )(keys)

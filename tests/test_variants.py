@@ -90,3 +90,30 @@ class TestSingleScale:
         assert ep["grasp_score_pred"].shape == (1, TINY_NUM_SEED, 12, 4)
         assert count_params(v["params"]) > 0
         assert float(tree_norm(v["params"])) > 0
+
+
+class TestMSGAndSamplers:
+    def test_msg_module(self, rng):
+        from graspbalance_tpu.nn.sa_fp import SetAbstractionMSG
+
+        xyz = jnp.asarray(rng.random((1, 128, 3), dtype=np.float32))
+        feats = jnp.asarray(rng.random((1, 128, 8), dtype=np.float32))
+        m = SetAbstractionMSG(
+            npoint=32, radii=(0.2, 0.4), nsamples=(8, 16),
+            mlps=((16, 16), (16, 32)),
+        )
+        v = m.init(jax.random.PRNGKey(0), xyz, feats, train=False)
+        new_xyz, f, inds = m.apply(v, xyz, feats, train=False)
+        assert new_xyz.shape == (1, 32, 3)
+        assert f.shape == (1, 32, 16 + 32)
+        assert inds.shape == (1, 32)
+
+    def test_random_sample(self, rng):
+        from graspbalance_tpu.ops import random_sample
+
+        xyz = jnp.asarray(rng.random((2, 50, 3), dtype=np.float32))
+        idx = np.asarray(random_sample(xyz, 20, jax.random.PRNGKey(0)))
+        assert idx.shape == (2, 20)
+        for b in range(2):
+            assert len(set(idx[b].tolist())) == 20  # no replacement
+            assert idx[b].min() >= 0 and idx[b].max() < 50
