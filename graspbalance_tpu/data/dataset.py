@@ -120,7 +120,8 @@ class GraspNetDataset:
         self.precompute_fps = precompute_fps
         self.valid_obj_idxs = set(valid_obj_idxs)
         self.grasp_labels = grasp_labels
-        self._rng = np.random.default_rng(seed)
+        self._seed = seed
+        self.epoch = 0  # set by the loader per epoch; varies augmentation
 
         scene_names = [f"scene_{x:04d}" for x in SPLIT_SCENES[split]]
         self.samples = []  # (scene, frame)
@@ -203,7 +204,9 @@ class GraspNetDataset:
 
     def __getitem__(self, index):
         scene, frame = self.samples[index]
-        rng = self._rng
+        # per-(seed, epoch, index) stream: thread-safe under the pooled
+        # loader (a shared Generator races) and reproducible
+        rng = np.random.default_rng((self._seed, self.epoch, index))
         use_noise = self.ncm and rng.integers(0, 2) == 1
 
         if use_noise:
@@ -378,6 +381,7 @@ def make_dataloaders(cfg):
     steps = len(train_ds) // bs
 
     def train_batches(epoch: int) -> Iterator[dict]:
+        train_ds.epoch = epoch
         order = np.random.default_rng(epoch).permutation(len(train_ds))
         yield from _batched(train_ds, order, bs, d.num_workers)
 
