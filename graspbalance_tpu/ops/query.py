@@ -269,7 +269,10 @@ def cylinder_query(
     return jax.vmap(per_batch)(xyz, centers, rot, valid)
 
 
-@functools.partial(jax.jit, static_argnames=("radii", "hmaxs", "nsample", "order", "chunk"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("radii", "hmaxs", "nsample", "order", "chunk", "tile"),
+)
 def multi_cylinder_query(
     xyz: jnp.ndarray,
     centers: jnp.ndarray,
@@ -281,6 +284,7 @@ def multi_cylinder_query(
     *,
     order: str = "index",
     chunk: int = 256,
+    tile: int = 256,
 ) -> jnp.ndarray:
     """All (radius, hmax) cylinder queries in one pass over the cloud.
 
@@ -304,7 +308,9 @@ def multi_cylinder_query(
             zr = -jnp.einsum("cnk,ck->cn", delta, rc[:, :, 2])
             d2 = yr * yr + zr * zr
             if order == "index":
-                return _multi_first_k(xr, d2, radii, hmin, hmaxs, nsample)
+                return _multi_first_k(
+                    xr, d2, radii, hmin, hmaxs, nsample, tile=tile
+                )
             outs = []
             for radius in radii:
                 row = []
