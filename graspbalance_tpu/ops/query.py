@@ -32,7 +32,7 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _first_k_by_index(hit: jnp.ndarray, nsample: int, tile: int = 256) -> jnp.ndarray:
+def _first_k_by_index(hit: jnp.ndarray, nsample: int, tile: int = 128) -> jnp.ndarray:
     """(..., N) bool -> (..., nsample) int32: indices of the first nsample
     hits in index order, with reference padding (slots past the hit count
     hold the first hit's index; 0 when no hits — ball_query_gpu.cu:33-41).
@@ -42,7 +42,8 @@ def _first_k_by_index(hit: jnp.ndarray, nsample: int, tile: int = 256) -> jnp.nd
     (the identity pos_of_rank(r) = #\\{prefix counts < r\\}), then the position
     inside the gathered tile by the same identity on the tile-local cumsum.
     Work per row: O(N + k*(N/tile + tile)) instead of a top-k sort over N
-    (~25x faster than lax.top_k at N=20k on TPU v5e).
+    (~25x faster than lax.top_k at N=20k on TPU v5e; tile=128 = one
+    vreg per tile row measured fastest, 1.75x over 256).
     """
     n = hit.shape[-1]
     t = _round_up(n, tile) // tile
@@ -120,7 +121,7 @@ def _select(hit: jnp.ndarray, d2: jnp.ndarray, nsample: int, order: str) -> jnp.
     raise ValueError(f"unknown query order: {order}")
 
 
-def _multi_first_k(xr, d2, radii, hmin, hmaxs, nsample, tile: int = 256):
+def _multi_first_k(xr, d2, radii, hmin, hmaxs, nsample, tile: int = 128):
     """First-k-by-index for all len(radii) x len(hmaxs) cylinder combos.
 
     The rotated coordinates are padded/tiled ONCE (sentinel xr=+inf is a
@@ -284,7 +285,7 @@ def multi_cylinder_query(
     *,
     order: str = "index",
     chunk: int = 256,
-    tile: int = 256,
+    tile: int = 128,
 ) -> jnp.ndarray:
     """All (radius, hmax) cylinder queries in one pass over the cloud.
 
