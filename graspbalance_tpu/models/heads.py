@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -84,29 +85,56 @@ class MultiScaleWidthGrouping(nn.Module):
     scales: Sequence[float] = (0.25, 0.5, 0.75, 1.0)
     mlp: Sequence[int] = (64, 128, 256)
     query_order: str = "index"
+    impl: str = "auto"  # 'fused_pallas' | 'xla' | 'auto' (pallas on TPU)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, seed_xyz, cloud_xyz, vp_rot, *, train: bool, bn_momentum=0.1):
         radii = tuple(s * self.cylinder_radius for s in self.scales)
-        idx = ops.multi_cylinder_query(
-            cloud_xyz,
-            seed_xyz,
-            vp_rot,
-            radii,
-            self.hmin,
-            tuple(self.hmax_list),
-            self.nsample,
-            order=self.query_order,
-        )  # (B, R, H, Ns, K)
-        b, n_r, n_h, ns, k = idx.shape
-        grouped = ops.group_points(
-            cloud_xyz, idx.reshape(b, n_r * n_h * ns, k)
-        ).reshape(b, n_r, n_h, ns, k, 3)
-        # relative, then rotate into the gripper frame (rotate_xyz=True,
-        # pointnet2_utils.py:281-284): g' = R^T (p - c)
-        rel = grouped - seed_xyz[:, None, None, :, None, :]
-        rel = jnp.einsum("brhskj,bsji->brhski", rel, vp_rot)
+        impl = self.impl
+        if impl == "auto":
+            # the fused kernel implements 'index' (reference) order only
+            use_pallas = (
+                jax.default_backend() == "tpu" and self.query_order == "index"
+            )
+            impl = "fused_pallas" if use_pallas else "xla"
+        if impl == "fused_pallas":
+            from graspbalance_tpu.ops.pallas.multicyl_kernel import (
+                multi_cylinder_group,
+            )
+
+            # one fused kernel: 16 queries + group + gripper-frame rotation,
+            # VMEM-resident. No gradient flows through grouped geometry
+            # (inputs are data / label rotations), mirrored by stop_gradient.
+            rel, _ = multi_cylinder_group(
+                jax.lax.stop_gradient(cloud_xyz[..., :3]),
+                jax.lax.stop_gradient(seed_xyz),
+                jax.lax.stop_gradient(vp_rot),
+                radii,
+                self.hmin,
+                tuple(self.hmax_list),
+                self.nsample,
+            )  # (B, R, H, Ns, K, 3)
+            n_r = len(radii)
+        else:
+            idx = ops.multi_cylinder_query(
+                cloud_xyz,
+                seed_xyz,
+                vp_rot,
+                radii,
+                self.hmin,
+                tuple(self.hmax_list),
+                self.nsample,
+                order=self.query_order,
+            )  # (B, R, H, Ns, K)
+            b, n_r, n_h, ns, k = idx.shape
+            grouped = ops.group_points(
+                cloud_xyz, idx.reshape(b, n_r * n_h * ns, k)
+            ).reshape(b, n_r, n_h, ns, k, 3)
+            # relative, then rotate into the gripper frame (rotate_xyz=True,
+            # pointnet2_utils.py:281-284): g' = R^T (p - c)
+            rel = grouped - seed_xyz[:, None, None, :, None, :]
+            rel = jnp.einsum("brhskj,bsji->brhski", rel, vp_rot)
 
         feats = []
         for ri in range(n_r):
