@@ -2,17 +2,30 @@
 
 Upgrades the reference's single overwritten checkpoint.tar per epoch
 (train.py:226-234): retained step-tagged checkpoints, auto-resume from the
-latest, best-loss tracking (the reference computes min_loss but never uses
-it — train.py:214).
+latest, and best-loss retention (the reference computes min_loss but never
+uses it — train.py:214): pass `metrics={"loss": ...}` to save() and the
+lowest-loss checkpoint is mirrored under <dir>/best (max_to_keep=1),
+independent of the latest-k rotation that auto-resume relies on.
 """
 
 from __future__ import annotations
 
+import json
 import os
+
 import jax
 import orbax.checkpoint as ocp
 
 from graspbalance_tpu.train.train_step import TrainState
+
+
+def _payload(state: TrainState) -> dict:
+    return {
+        "step": int(state.step),
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+    }
 
 
 class CheckpointManager:
@@ -22,28 +35,50 @@ class CheckpointManager:
         self._mgr = ocp.CheckpointManager(
             self._dir,
             options=ocp.CheckpointManagerOptions(
-                max_to_keep=max_to_keep,
-                best_fn=None,
-                create=True,
+                max_to_keep=max_to_keep, create=True
             ),
         )
+        self._best_mgr = None  # lazily created on first save-with-metrics
+        self._best_path = os.path.join(self._dir, "best.json")
 
-    def save(self, step: int, state: TrainState, extra: dict | None = None):
-        payload = {
-            "step": int(step),
-            "params": state.params,
-            "batch_stats": state.batch_stats,
-            "opt_state": state.opt_state,
-        }
+    def _best(self):
+        if self._best_mgr is None:
+            self._best_mgr = ocp.CheckpointManager(
+                os.path.join(self._dir, "best"),
+                options=ocp.CheckpointManagerOptions(max_to_keep=1, create=True),
+            )
+        return self._best_mgr
+
+    def best_loss(self) -> float | None:
+        if os.path.exists(self._best_path):
+            with open(self._best_path) as f:
+                return json.load(f)["loss"]
+        return None
+
+    def save(
+        self,
+        step: int,
+        state: TrainState,
+        extra: dict | None = None,
+        metrics: dict | None = None,
+    ):
+        payload = _payload(state)
         self._mgr.save(step, args=ocp.args.StandardSave(payload))
         self._mgr.wait_until_finished()
         if extra:
             # JSON sidecar: keeps the orbax tree structure independent of
             # variable bookkeeping metadata.
-            import json
-
             with open(os.path.join(self._dir, f"extra_{step}.json"), "w") as f:
                 json.dump(extra, f)
+        loss = (metrics or {}).get("loss")
+        if loss is not None:
+            prev = self.best_loss()
+            if prev is None or float(loss) < prev:
+                best = self._best()
+                best.save(step, args=ocp.args.StandardSave(payload))
+                best.wait_until_finished()
+                with open(self._best_path, "w") as f:
+                    json.dump({"step": int(step), "loss": float(loss)}, f)
 
     def latest_step(self) -> int | None:
         return self._mgr.latest_step()
@@ -71,11 +106,35 @@ class CheckpointManager:
         extra = {}
         sidecar = os.path.join(self._dir, f"extra_{step}.json")
         if os.path.exists(sidecar):
-            import json
-
             with open(sidecar) as f:
                 extra = json.load(f)
         return new_state, extra
 
     def close(self):
         self._mgr.close()
+        if self._best_mgr is not None:
+            self._best_mgr.close()
+
+
+def load_inference_variables(
+    directory: str, step: int | None = None, best: bool = False
+) -> tuple[dict, int]:
+    """Restore {'params', 'batch_stats'} for inference without needing an
+    optimizer template: restores the raw saved pytree (opt_state included,
+    then dropped) so the template never mismatches the stored structure.
+
+    Returns (variables, step). With best=True reads the best-loss mirror.
+    """
+    directory = os.path.abspath(directory)
+    if best:
+        directory = os.path.join(directory, "best")
+    with ocp.CheckpointManager(directory) as mgr:
+        if step is None:
+            step = mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints in {directory}")
+        restored = mgr.restore(step, args=ocp.args.StandardRestore())
+    return (
+        {"params": restored["params"], "batch_stats": restored["batch_stats"]},
+        int(restored["step"]),
+    )

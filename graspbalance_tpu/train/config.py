@@ -50,6 +50,9 @@ class TrainConfig:
     checkpoint_every_epochs: int = 1
     seed: int = 0
     n_data_shards: int | None = None  # None = all devices
+    profile_steps: int = 0  # >0: jax.profiler trace that many steps
+    # (starting at step `profile_start` of the first epoch, after warmup)
+    profile_start: int = 10
 
 
 @dataclasses.dataclass(frozen=True)

@@ -10,12 +10,18 @@ from __future__ import annotations
 import time
 from typing import Callable, Iterable
 
+import jax
 import jax.numpy as jnp
 
 from graspbalance_tpu.parallel.mesh import make_mesh, shard_batch
 from graspbalance_tpu.train.checkpoints import CheckpointManager
 from graspbalance_tpu.train.config import Config
-from graspbalance_tpu.train.metrics import MetricAggregator, MetricLogger
+from graspbalance_tpu.train.metrics import (
+    MetricAggregator,
+    MetricLogger,
+    profiler_trace,
+    step_timer,
+)
 from graspbalance_tpu.train.train_step import (
     create_train_state,
     make_eval_step,
@@ -77,18 +83,39 @@ def train(
         logger = MetricLogger(cfg.train.log_dir, "train")
         eval_logger = MetricLogger(cfg.train.log_dir, "test")
 
+        profiling = False
         for epoch in range(start_epoch, cfg.train.max_epoch):
             agg = MetricAggregator()
+            epoch_agg = MetricAggregator()  # epoch mean for best-loss ckpt
             t_epoch = time.time()
             for i, batch in enumerate(prefetch(train_batches(epoch))):
+                # optional jax.profiler window (SURVEY.md §5: the reference
+                # ships no tracing) over steps [start, start+n) of epoch 0
+                if cfg.train.profile_steps > 0 and epoch == start_epoch:
+                    if i == cfg.train.profile_start and not profiling:
+                        jax.profiler.start_trace(cfg.train.log_dir + "/profile")
+                        profiling = True
+                    elif (
+                        profiling
+                        and i == cfg.train.profile_start + cfg.train.profile_steps
+                    ):
+                        jax.profiler.stop_trace()
+                        profiling = False
                 batch = shard_batch(batch, mesh)
-                state, metrics = train_step(state, batch, jnp.int32(epoch))
+                with step_timer(metrics := {}):
+                    state, metrics_dev = train_step(state, batch, jnp.int32(epoch))
+                metrics.update(metrics_dev)
                 agg.update(metrics)
+                epoch_agg.update({"loss/overall_loss": metrics_dev["loss/overall_loss"]})
                 if (i + 1) % cfg.train.log_every == 0:
                     logger.log(int(state.step), agg.flush())
+            if profiling:
+                jax.profiler.stop_trace()
+                profiling = False
             rest = agg.flush()
             if rest:
                 logger.log(int(state.step), rest)
+            epoch_loss = epoch_agg.flush().get("loss/overall_loss")
             print(f"epoch {epoch} done in {time.time() - t_epoch:.1f}s")
 
             if eval_batches is not None:
@@ -99,7 +126,14 @@ def train(
                 eval_logger.log(int(state.step), eagg.flush())
 
             if (epoch + 1) % cfg.train.checkpoint_every_epochs == 0:
-                ckpt.save(int(state.step), state, extra={"epoch": epoch + 1})
+                ckpt.save(
+                    int(state.step),
+                    state,
+                    extra={"epoch": epoch + 1},
+                    metrics=(
+                        {"loss": epoch_loss} if epoch_loss is not None else None
+                    ),
+                )
 
         ckpt.close()
         logger.close()

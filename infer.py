@@ -17,6 +17,8 @@ import numpy as np
 def parse_args():
     p = argparse.ArgumentParser()
     p.add_argument("--checkpoint_dir", default="", help="orbax checkpoint dir")
+    p.add_argument("--best", action="store_true",
+                   help="restore the best-loss checkpoint instead of latest")
     p.add_argument("--dataset_root", default="")
     p.add_argument("--camera", default="realsense")
     p.add_argument("--split", default="test_seen")
@@ -49,25 +51,11 @@ def main():
         jax.random.PRNGKey(0), {"point_clouds": sample_cloud}
     )
     if args.checkpoint_dir:
-        import orbax.checkpoint as ocp
+        from graspbalance_tpu.train.checkpoints import load_inference_variables
 
-        mgr = ocp.CheckpointManager(os.path.abspath(args.checkpoint_dir))
-        step = mgr.latest_step()
-        restored = mgr.restore(
-            step,
-            args=ocp.args.StandardRestore(
-                {
-                    "step": 0,
-                    "params": variables["params"],
-                    "batch_stats": variables["batch_stats"],
-                    "opt_state": None,
-                }
-            ),
+        variables, step = load_inference_variables(
+            args.checkpoint_dir, best=args.best
         )
-        variables = {
-            "params": restored["params"],
-            "batch_stats": restored["batch_stats"],
-        }
         print(f"restored checkpoint step {step}")
 
     infer = GraspInference(model, variables, collision_thresh=args.collision_thresh)

@@ -125,6 +125,44 @@ class TestCheckpoint:
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
         mgr.close()
 
+    def test_best_loss_retention_and_inference_restore(self, tmp_path):
+        from graspbalance_tpu.train.checkpoints import (
+            CheckpointManager,
+            load_inference_variables,
+        )
+
+        cfg, model, state, batch = tiny_setup(2, tmp_path)
+        step_fn = ts.make_train_step(model, cfg)
+        jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+        state1, _ = step_fn(state, jbatch, jnp.int32(0))
+        params1 = jax.tree_util.tree_map(np.asarray, state1.params)
+        mgr = CheckpointManager(str(tmp_path / "ckpt"))
+        mgr.save(1, state1, metrics={"loss": 2.0})
+        state2, _ = step_fn(state1, jbatch, jnp.int32(0))  # donates state1
+        assert mgr.best_loss() == pytest.approx(2.0)
+        mgr.save(2, state2, metrics={"loss": 3.0})  # worse: best stays step 1
+        assert mgr.best_loss() == pytest.approx(2.0)
+        mgr.close()
+
+        # inference restore (the infer.py path): no optimizer template needed
+        variables, step = load_inference_variables(str(tmp_path / "ckpt"))
+        assert step == 2  # latest
+        best_vars, best_step = load_inference_variables(
+            str(tmp_path / "ckpt"), best=True
+        )
+        assert best_step == 1
+        a = jax.tree_util.tree_leaves(params1)
+        b = jax.tree_util.tree_leaves(best_vars["params"])
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+        # restored variables drive the model forward directly
+        model.apply(
+            {"params": variables["params"],
+             "batch_stats": variables["batch_stats"]},
+            {"point_clouds": jbatch["point_clouds"]},
+            train=False,
+        )
+
 
 class TestMultichip:
     def test_dryrun(self):
