@@ -1,6 +1,10 @@
 """Headline benchmark: GraspBalance inference clouds/sec/chip at 20k points.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "p50_ms"}.
+
+Workload: scene-shaped clouds from data/synthetic (tabletop plane + object
+blobs in the training distribution) — neighbor-hit density drives every
+query kernel, so uniform random cubes would mis-state the real cost.
 
 Baseline: the reference repo publishes no numbers (BASELINE.md). The
 north-star target is >=5x a V100 PyTorch reference on the same workload.
@@ -30,6 +34,7 @@ def main():
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    from graspbalance_tpu.data.synthetic import SceneConfig, make_batch
     from graspbalance_tpu.train.config import Config
     from graspbalance_tpu.train.train_step import build_model
     from graspbalance_tpu.models.decode import pred_decode
@@ -37,10 +42,8 @@ def main():
     cfg = Config()
     model = build_model(cfg)
     batch_size = 4
-    rng = np.random.default_rng(0)
-    cloud = jnp.asarray(
-        (rng.random((batch_size, cfg.data.num_points, 3), dtype=np.float32) - 0.5)
-    )
+    scene_cfg = SceneConfig(num_points=cfg.data.num_points)
+    cloud = jnp.asarray(make_batch(0, batch_size, scene_cfg)["point_clouds"])
     variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
         jax.random.PRNGKey(0), {"point_clouds": cloud[:1]}
     )
@@ -56,12 +59,15 @@ def main():
     float(forward(variables, cloud))  # warmup / compile
 
     n_iters = 10
-    t0 = time.perf_counter()
+    times = []
     for _ in range(n_iters):
+        t0 = time.perf_counter()
         float(forward(variables, cloud))
-    dt = time.perf_counter() - t0
+        times.append(time.perf_counter() - t0)
+    total = sum(times)
 
-    clouds_per_sec = batch_size * n_iters / dt
+    clouds_per_sec = batch_size * n_iters / total
+    p50_scene_ms = float(np.median(times)) / batch_size * 1e3
     print(
         json.dumps(
             {
@@ -69,6 +75,7 @@ def main():
                 "value": round(clouds_per_sec, 3),
                 "unit": "clouds/s",
                 "vs_baseline": round(clouds_per_sec / BASELINE_CLOUDS_PER_SEC, 3),
+                "p50_ms": round(p50_scene_ms, 2),
             }
         )
     )

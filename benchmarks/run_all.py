@@ -1,9 +1,12 @@
 """Benchmark harness for the five BASELINE.json configs.
 
-Prints one JSON line per config. Configs (BASELINE.json `configs`):
-  1. backbone_forward      PointNet++/DRP backbone forward, 20k pts, bs=1
-  2. full_forward          full GraspBalance forward, bs=4
-  3. e2e_inference         forward + decode + NMS + collision filter
+Prints one JSON line per config (ms, clouds/s, p50 scene latency). All
+configs run on scene-shaped clouds from data/synthetic (tabletop + object
+blobs): neighbor-hit density drives the query kernels, so uniform random
+cubes would mis-state the cost. Configs (BASELINE.json `configs`):
+  1. backbone_forward      DRP backbone forward, 20k pts, bs=1
+  2. full_forward          GraspBalance forward incl. DSN seg + OBS, bs=4
+  3. e2e_inference         forward + decode + NMS + voxel-ds collision filter
   4. train_step            single training step (labels + loss + Adam), bs=8*
   5. train_loop            short synthetic training loop, steps/sec
 
@@ -24,10 +27,25 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def timed(fn, iters=5):
     fn()  # compile/warmup
-    t0 = time.perf_counter()
+    times = []
     for _ in range(iters):
+        t0 = time.perf_counter()
         fn()
-    return (time.perf_counter() - t0) / iters
+        times.append(time.perf_counter() - t0)
+    import statistics
+
+    return sum(times) / iters, statistics.median(times)
+
+
+def record(results, name, dt, p50, bs):
+    results.append(
+        {
+            "config": name,
+            "ms": round(dt * 1e3, 2),
+            "clouds_per_sec": round(bs / dt, 2),
+            "p50_scene_ms": round(p50 / bs * 1e3, 2),
+        }
+    )
 
 
 def main():
@@ -47,16 +65,20 @@ def main():
     from graspbalance_tpu.data.synthetic import SceneConfig, make_batch
     from graspbalance_tpu.models.decode import pred_decode
     from graspbalance_tpu.models.drp import DRP
-    from graspbalance_tpu.eval.collision import collision_detect
+    from graspbalance_tpu.eval.collision import (
+        collision_detect,
+        voxel_downsample_fixed,
+    )
     from graspbalance_tpu.eval.nms import grasp_nms
     from graspbalance_tpu.train.config import Config
     from graspbalance_tpu.train import train_step as ts
 
     rng = np.random.default_rng(0)
     results = []
+    scene20k = SceneConfig(num_points=20000)
 
     if 1 in which:
-        cloud = jnp.asarray(rng.random((1, 20000, 3), dtype=np.float32) - 0.5)
+        cloud = jnp.asarray(make_batch(0, 1, scene20k)["point_clouds"])
         drp = DRP()
         v = jax.jit(lambda r, c: drp.init(r, c, train=False))(
             jax.random.PRNGKey(0), cloud
@@ -64,33 +86,43 @@ def main():
         f = jax.jit(
             lambda v, c: jnp.sum(drp.apply(v, c, train=False)["fp2_features"])
         )
-        dt = timed(lambda: float(f(v, cloud)))
-        results.append(
-            {"config": "backbone_forward_bs1", "ms": round(dt * 1e3, 2),
-             "clouds_per_sec": round(1 / dt, 2)}
-        )
+        dt, p50 = timed(lambda: float(f(v, cloud)))
+        record(results, "backbone_forward_bs1", dt, p50, 1)
 
     if 2 in which or 3 in which:
         cfg = Config()
         model = ts.build_model(cfg)
         bs = 4
-        cloud = jnp.asarray(rng.random((bs, 20000, 3), dtype=np.float32) - 0.5)
+        cloud = jnp.asarray(make_batch(0, bs, scene20k)["point_clouds"])
         v = jax.jit(lambda r, b: model.init(r, b, train=False))(
             jax.random.PRNGKey(0), {"point_clouds": cloud[:1]}
         )
         if 2 in which:
-            f2 = jax.jit(
-                lambda v, c: jnp.sum(
-                    model.apply(v, {"point_clouds": c}, train=False)[
-                        "grasp_score_pred"
-                    ]
+            # BASELINE config 2 = backbone + DSN seg + grasp heads: the DSN
+            # instance segmentation feeds OBS re-seeding before stage 1
+            from graspbalance_tpu.models.dsn import DSN, cluster
+
+            dsn = DSN()
+            dv = jax.jit(lambda r, c: dsn.init(r, c, train=False))(
+                jax.random.PRNGKey(1), cloud[:1]
+            )
+
+            @jax.jit
+            def f2(v, dv, c, key):
+                seg = dsn.apply(dv, c, train=False)
+                fg = jnp.argmax(seg["foreground_logits"], axis=-1) == 1
+                labels, _, _ = cluster(
+                    c[..., :3], seg["center_offsets"], fg, key
                 )
-            )
-            dt = timed(lambda: float(f2(v, cloud)))
-            results.append(
-                {"config": "full_forward_bs4", "ms": round(dt * 1e3, 2),
-                 "clouds_per_sec": round(bs / dt, 2)}
-            )
+                ep = model.apply(
+                    v, {"point_clouds": c, "seed_cluster": labels},
+                    train=False,
+                )
+                return jnp.sum(ep["grasp_score_pred"])
+
+            key = jax.random.PRNGKey(2)
+            dt, p50 = timed(lambda: float(f2(v, dv, cloud, key)))
+            record(results, "full_forward_dsn_obs_bs4", dt, p50, bs)
         if 3 in which:
             @jax.jit
             def f3(v, c):
@@ -99,17 +131,15 @@ def main():
 
                 def post(g, val, s):
                     keep = grasp_nms(g, val)
-                    coll = collision_detect(s, g)
+                    s_ds, s_valid = voxel_downsample_fixed(s)
+                    coll = collision_detect(s_ds, g, scene_valid=s_valid)
                     return keep & ~coll
 
                 keep = jax.vmap(post)(grasps, valid, c)
                 return jnp.sum(grasps) + jnp.sum(keep)
 
-            dt = timed(lambda: float(f3(v, cloud)))
-            results.append(
-                {"config": "e2e_inference_bs4", "ms": round(dt * 1e3, 2),
-                 "clouds_per_sec": round(bs / dt, 2)}
-            )
+            dt, p50 = timed(lambda: float(f3(v, cloud)))
+            record(results, "e2e_inference_bs4", dt, p50, bs)
 
     if 4 in which or 5 in which:
         cfg = Config()
@@ -137,11 +167,8 @@ def main():
                 state, metrics = step_fn(state, batch, jnp.int32(0))
                 return float(metrics["loss/overall_loss"])
 
-            dt = timed(run)
-            results.append(
-                {"config": f"train_step_bs{bs}", "ms": round(dt * 1e3, 2),
-                 "clouds_per_sec": round(bs / dt, 2)}
-            )
+            dt, p50 = timed(run)
+            record(results, f"train_step_bs{bs}", dt, p50, bs)
         if 5 in which:
             t0 = time.perf_counter()
             for i in range(args.loop_steps):

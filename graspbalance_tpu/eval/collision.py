@@ -39,6 +39,47 @@ def voxel_downsample(points: np.ndarray, voxel_size: float = 0.005) -> np.ndarra
     return np.stack([g.mean(axis=0) for g in groups]).astype(points.dtype)
 
 
+@functools.partial(jax.jit, static_argnames=("voxel_size",))
+def voxel_downsample_fixed(
+    points: jnp.ndarray,
+    valid: jnp.ndarray | None = None,
+    voxel_size: float = 0.005,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Device-side, fixed-shape voxel downsample: (N,3)[, (N,) valid] ->
+    ((N,3) centroids, (N,) valid) with one centroid per occupied voxel in
+    the leading slots. Matches the reference's o3d voxel_down_sample
+    semantics (collision_detector.py:11-14) so collision IoUs are computed
+    against occupied-voxel counts, not raw point counts.
+
+    Lexicographic voxel grouping via three stable sorts (overflow-safe for
+    any extent, no dense key) + segment-sum centroids; everything static
+    shape so it jits and vmaps.
+    """
+    n = points.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), bool)
+    coords = jnp.floor(points / voxel_size).astype(jnp.int32)
+    big = jnp.int32(2**30)
+    c = jnp.where(valid[:, None], coords, big)  # invalid rows sort last
+
+    p, v = points, valid
+    for axis in (2, 1, 0):  # least-significant key first
+        o = jnp.argsort(c[:, axis], stable=True)
+        c, p, v = c[o], p[o], v[o]
+
+    changed = jnp.any(c[1:] != c[:-1], axis=-1)
+    first = v & jnp.concatenate([jnp.ones((1,), bool), changed])
+    seg = jnp.cumsum(first.astype(jnp.int32)) - 1
+    seg = jnp.maximum(seg, 0)
+    w = v.astype(points.dtype)
+    sums = jax.ops.segment_sum(p * w[:, None], seg, num_segments=n)
+    counts = jax.ops.segment_sum(w, seg, num_segments=n)
+    centroids = sums / jnp.maximum(counts, 1.0)[:, None]
+    num_groups = jnp.sum(first.astype(jnp.int32))
+    out_valid = jnp.arange(n, dtype=jnp.int32) < num_groups
+    return centroids, out_valid
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("return_empty_grasp", "return_ious"),

@@ -21,7 +21,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from graspbalance_tpu.eval.collision import collision_detect
+from graspbalance_tpu.eval.collision import (
+    collision_detect,
+    voxel_downsample_fixed,
+)
 from graspbalance_tpu.eval.nms import grasp_nms
 from graspbalance_tpu.models.decode import pred_decode
 from graspbalance_tpu.models.dsn import DSN, cluster
@@ -61,11 +64,16 @@ class GraspInference:
 
         @jax.jit
         def _postprocess(grasps, valid, scene):
-            b = grasps.shape[0]
-
             def one(g, v, s):
                 keep = grasp_nms(g, v)
-                coll = collision_detect(s, g)
+                # the reference counts occupancy on a 5 mm voxel-downsampled
+                # scene (collision_detector.py:11-14); the IoU threshold is
+                # only meaningful at that density
+                s_ds, s_valid = voxel_downsample_fixed(s)
+                coll = collision_detect(
+                    s_ds, g, scene_valid=s_valid,
+                    collision_thresh=self.collision_thresh,
+                )
                 return keep & ~coll
 
             return jax.vmap(one)(grasps, valid, scene)

@@ -108,6 +108,73 @@ class TestCollision:
         n_occ = len(np.unique(vox, axis=0))
         assert out.shape == (n_occ, 3)
 
+    def test_voxel_downsample_fixed_matches_host(self, rng):
+        from graspbalance_tpu.eval.collision import voxel_downsample_fixed
+
+        pts = ((rng.random((800, 3)) - 0.5) * 0.3).astype(np.float32)
+        dev_pts, dev_valid = voxel_downsample_fixed(jnp.asarray(pts), voxel_size=0.01)
+        dev = np.asarray(dev_pts)[np.asarray(dev_valid)]
+        host = voxel_downsample(pts, 0.01)
+        assert dev.shape == host.shape
+        # same centroid set (order differs: lex voxel order vs host key order)
+        np.testing.assert_allclose(
+            np.sort(dev, axis=0), np.sort(host, axis=0), atol=1e-6
+        )
+
+    def test_voxel_downsample_fixed_respects_valid_mask(self, rng):
+        from graspbalance_tpu.eval.collision import voxel_downsample_fixed
+
+        pts = ((rng.random((300, 3)) - 0.5) * 0.3).astype(np.float32)
+        valid = rng.random(300) > 0.4
+        dev_pts, dev_valid = voxel_downsample_fixed(
+            jnp.asarray(pts), jnp.asarray(valid), voxel_size=0.01
+        )
+        dev = np.asarray(dev_pts)[np.asarray(dev_valid)]
+        host = voxel_downsample(pts[valid], 0.01)
+        np.testing.assert_allclose(
+            np.sort(dev, axis=0), np.sort(host, axis=0), atol=1e-6
+        )
+
+    def test_collision_on_downsampled_scene_matches_reference_wiring(self, rng):
+        """E2E wiring check: collision on the device-downsampled dense scene
+        == the reference semantics (host o3d-style downsample -> IoU count,
+        collision_detector.py:11-48), and differs from feeding the raw dense
+        cloud (which the reference never does)."""
+        from graspbalance_tpu.eval.collision import voxel_downsample_fixed
+
+        # dense wall plane inside the left finger box: ~40x denser than the
+        # 5 mm voxel grid, so raw-point IoU is wildly inflated
+        ys = np.linspace(-0.045, -0.041, 4)
+        xs = np.linspace(-0.03, 0.01, 60)
+        zs = np.linspace(-0.009, 0.009, 16)
+        wall = np.stack(np.meshgrid(xs, ys, zs), -1).reshape(-1, 3)
+        bg = ((rng.random((2000, 3)) - 0.5) * 0.5 + np.array([0.3, 0.3, 0.0]))
+        # de-align from exact voxel boundaries: the device downsample bins in
+        # f32, the host (o3d-parity) path in f64; points exactly on a 5 mm
+        # boundary can land in either voxel (documented deviation, irrelevant
+        # for sensor data)
+        scene = (np.concatenate([wall, bg]) + 1.37e-4).astype(np.float32)
+        g = make_grasp(
+            np.zeros(3), np.eye(3, dtype=np.float32), width=0.08, depth=0.01
+        )[None]
+
+        s_ds, s_valid = voxel_downsample_fixed(jnp.asarray(scene))
+        _, ious = collision_detect(
+            s_ds, jnp.asarray(g), scene_valid=s_valid, return_ious=True
+        )
+        got_iou = float(np.asarray(ious[0])[0])
+        want_iou_scene = voxel_downsample(scene, 0.005)
+        want = collision_oracle(want_iou_scene, g)
+        got = np.asarray(
+            collision_detect(s_ds, jnp.asarray(g), scene_valid=s_valid)
+        )
+        np.testing.assert_array_equal(got, want)
+        # raw dense cloud inflates the occupancy count -> different regime
+        _, ious_raw = collision_detect(
+            jnp.asarray(scene), jnp.asarray(g), return_ious=True
+        )
+        assert float(np.asarray(ious_raw[0])[0]) > 3 * got_iou
+
 
 def nms_oracle(grasps, valid, t_thresh=0.03, r_thresh=np.deg2rad(30)):
     order = np.argsort(-np.where(valid, grasps[:, 0], -np.inf))
