@@ -105,7 +105,11 @@ def compute_weighted_view_loss(view_score, view_label, graspable, weight_mask):
     objectness_mask = (graspable > 0)[..., None]  # (B,Ns,1)
     loss_mask = objectness_mask.astype(jnp.float32) * weight_mask[..., None]
     sq = jnp.square(view_score - view_label)
-    loss = jnp.sum(sq * loss_mask) / (jnp.sum(loss_mask) + 1e-6)
+    # the reference repeats the per-seed mask over all V view channels
+    # (loss.py:99-101) before the masked mean, so the denominator carries a
+    # factor of V relative to the per-seed mask sum
+    v = view_score.shape[-1]
+    loss = jnp.sum(sq * loss_mask) / (jnp.sum(loss_mask) * v + 1e-6)
     pos_count = jnp.sum(
         jnp.logical_and(view_score >= THRESH_GOOD, objectness_mask)
     )
