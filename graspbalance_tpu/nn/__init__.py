@@ -16,8 +16,12 @@ from graspbalance_tpu.nn.layers import (
 from graspbalance_tpu.nn.sa_fp import (
     SetAbstraction,
     SetAbstractionMSG,
+    SetAbstractionShift,
+    SetAbstractionWOMLP,
+    LocalFeaturePropagationMSG,
     FeaturePropagation,
 )
+from graspbalance_tpu.nn.registry import CHANNEL_MAP, create_act, create_norm
 
 __all__ = [
     "BatchNorm",
@@ -26,5 +30,11 @@ __all__ = [
     "bn_momentum_schedule",
     "SetAbstraction",
     "SetAbstractionMSG",
+    "SetAbstractionShift",
+    "SetAbstractionWOMLP",
+    "LocalFeaturePropagationMSG",
     "FeaturePropagation",
+    "CHANNEL_MAP",
+    "create_act",
+    "create_norm",
 ]

@@ -88,6 +88,8 @@ class MLPBlock(nn.Module):
     features: int
     use_bn: bool = True
     act: bool = True
+    norm_type: str = "bn"  # any create_norm key (nn/registry.py)
+    act_type: str = "relu"  # any create_act key
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -100,11 +102,24 @@ class MLPBlock(nn.Module):
             name="dense",
         )(x)
         if self.use_bn:
-            x = BatchNorm(dtype=self.dtype, name="bn")(
-                x, train=train, momentum=bn_momentum
-            )
+            if self.norm_type == "bn":
+                x = BatchNorm(dtype=self.dtype, name="bn")(
+                    x, train=train, momentum=bn_momentum
+                )
+            else:
+                from graspbalance_tpu.nn.registry import create_norm
+
+                x = create_norm(self.norm_type, self.features, name="bn")(
+                    x, train=train, momentum=bn_momentum
+                )
         if self.act:
-            x = nn.relu(x)
+            if self.act_type == "relu":
+                x = nn.relu(x)
+            else:
+                from graspbalance_tpu.nn.registry import create_act
+
+                act = create_act(self.act_type)
+                x = act(x)
         return x
 
 

@@ -22,9 +22,16 @@ from graspbalance_tpu.data.utils import (
 from tests import oracles
 
 
-def fabricate_dataset(root, n_scenes=1, n_frames=2, n_objects=3, rng=None):
+def fabricate_dataset(
+    root, n_scenes=1, n_frames=2, n_objects=3, rng=None, real_depth=False
+):
     """Write a minimal GraspNet-1B-shaped tree: clean_scenes npys, meta
-    mats, grasp_label npzs, collision labels, tolerance."""
+    mats, grasp_label npzs, collision labels, tolerance.
+
+    With real_depth=True the depth/label pngs describe an actual scene
+    (constant 800 mm depth, object-id bands) so the raw-depth/NcM loader
+    paths produce usable clouds; the 0.8 m z-plane is a recognizable
+    signature distinguishing noisy-path points from the ~0.5 m clean scene."""
     import scipy.io as scio
 
     rng = rng or np.random.default_rng(0)
@@ -78,12 +85,28 @@ def fabricate_dataset(root, n_scenes=1, n_frames=2, n_objects=3, rng=None):
             seg = np.concatenate(seg)
             np.save(os.path.join(cbase, "points", f"{f:04d}.npy"), cloud)
             np.save(os.path.join(cbase, "seg", f"{f:04d}.npy"), seg)
-            # depth frame placeholder (unused by the clean path)
             from PIL import Image
 
-            Image.fromarray(np.zeros((8, 8), np.uint16)).save(
-                os.path.join(base, "depth", f"{f:04d}.png")
-            )
+            if real_depth:
+                # constant 800 mm plane with object-id bands in the label img
+                h = w = 64
+                depth_img = np.full((h, w), 800, np.uint16)
+                label_img = np.zeros((h, w), np.uint8)
+                band = w // (n_objects + 1)
+                for i in range(n_objects):
+                    label_img[:, i * band : (i + 1) * band] = i + 1
+                Image.fromarray(depth_img).save(
+                    os.path.join(base, "depth", f"{f:04d}.png")
+                )
+                os.makedirs(os.path.join(base, "label"), exist_ok=True)
+                Image.fromarray(label_img).save(
+                    os.path.join(base, "label", f"{f:04d}.png")
+                )
+            else:
+                # depth frame placeholder (unused by the clean path)
+                Image.fromarray(np.zeros((8, 8), np.uint16)).save(
+                    os.path.join(base, "depth", f"{f:04d}.png")
+                )
             poses = np.zeros((3, 4, n_objects), np.float32)
             for i in range(n_objects):
                 poses[:, :3, i] = np.eye(3)
@@ -216,3 +239,60 @@ class TestDatasetVariants:
             pc[m] + off[m], np.tile(pc[m].mean(0), (m.sum(), 1)), atol=1e-5
         )
         np.testing.assert_allclose(off[seg == 0], 0.0)
+
+
+class TestNcM:
+    """NcM noisy-clean mix semantics, pinned to the reference composition
+    (graspnet_wonoise_dataset.py): __getitem__ mode='mix' draws a 50/50
+    branch (:151-157); the noisy branch runs mix() = per-object 75% noisy
+    camera points / 25% clean CAD points (:924-937)."""
+
+    def test_mix_per_object_75_25_selection(self):
+        ds = GraspNetDataset.__new__(GraspNetDataset)  # _mix is self-free
+
+        class FakeRng:
+            def __init__(self, vals):
+                self.vals = list(vals)
+
+            def random(self):
+                return self.vals.pop(0)
+
+        pcd = np.array([[1.0, 0, 0], [2.0, 0, 0], [3.0, 0, 0]], np.float32)
+        pcd_seg = np.array([0, 1, 2], np.int32)
+        cpcd = -pcd
+        cpcd_seg = pcd_seg.copy()
+        # draws per object id in sorted-unique order: >0.25 keeps noisy
+        mixed, seg = ds._mix(pcd, pcd_seg, cpcd, cpcd_seg,
+                             FakeRng([0.5, 0.1, 0.9]))
+        np.testing.assert_allclose(mixed[:, 0], [1.0, -2.0, 3.0])
+        np.testing.assert_array_equal(seg, [0, 1, 2])
+
+    def test_ncm_branch_composition(self, tmp_path_factory):
+        root = str(tmp_path_factory.mktemp("gn_ncm"))
+        fabricate_dataset(root, real_depth=True)
+        ds = GraspNetDataset(
+            root, [], {}, camera="realsense", split="all", num_points=256,
+            load_label=False, remove_outlier=False, ncm=True,
+        )
+        # the raw-depth scene is a z=0.8 plane; the clean scene sits ~0.5 m.
+        n_noisy_items = 0
+        n_items = 0
+        for epoch in range(20):
+            ds.set_epoch(epoch) if hasattr(ds, "set_epoch") else setattr(
+                ds, "epoch", epoch
+            )
+            for idx in range(len(ds)):
+                pc = ds[idx]["point_clouds"]
+                n_items += 1
+                has_noisy = np.any(np.isclose(pc[:, 2], 0.8, atol=1e-3))
+                has_clean = np.any(pc[:, 2] < 0.7)
+                if has_noisy:
+                    n_noisy_items += 1
+                    # noisy branch mixes per object: clean points may or may
+                    # not appear, but pure-clean items must have NO 0.8 plane
+                else:
+                    assert has_clean
+        # 50/50 branch: expect roughly half the items to carry noisy points
+        # ((1-0.25^4)~0.996 of noisy-branch items keep some noisy object)
+        frac = n_noisy_items / n_items
+        assert 0.25 < frac < 0.75, frac

@@ -117,3 +117,74 @@ class TestMSGAndSamplers:
         for b in range(2):
             assert len(set(idx[b].tolist())) == 20  # no replacement
             assert idx[b].min() >= 0 and idx[b].max() < 50
+
+
+class TestSAVariants:
+    """Unused-by-the-live-model SA/LFP variants (pointnet2_modules.py:190-340,
+    437-495), kept for module-surface parity."""
+
+    def _scene(self, rng, n=96, c=6):
+        xyz = jnp.asarray(rng.random((2, n, 3), dtype=np.float32))
+        feats = jnp.asarray(rng.random((2, n, c), dtype=np.float32))
+        return xyz, feats
+
+    def test_shift_uses_given_centers(self, rng):
+        from graspbalance_tpu.nn.sa_fp import SetAbstractionShift
+
+        xyz, feats = self._scene(rng)
+        new_xyz = xyz[:, :16]
+        m = SetAbstractionShift(radius=0.3, nsample=8, mlp=(16, 32))
+        v = m.init(jax.random.PRNGKey(0), new_xyz, xyz, feats, train=False)
+        out = m.apply(v, new_xyz, xyz, feats, train=False)
+        assert out.shape == (2, 16, 32)
+        # no FPS: shifting the query centers changes outputs, nothing else
+        out2 = m.apply(v, xyz[:, 16:32], xyz, feats, train=False)
+        assert not np.allclose(np.asarray(out), np.asarray(out2))
+
+    @pytest.mark.parametrize("pooling", ["max", "avg", "rbf"])
+    def test_womlp_pooling_semantics(self, rng, pooling):
+        from graspbalance_tpu import ops
+        from graspbalance_tpu.nn.sa_fp import SetAbstractionWOMLP
+
+        xyz, feats = self._scene(rng)
+        m = SetAbstractionWOMLP(
+            npoint=16, radius=0.3, nsample=8, pooling=pooling,
+            normalize_xyz=True,
+        )
+        v = m.init(jax.random.PRNGKey(0), xyz, feats, train=False)
+        new_xyz, pooled, inds = m.apply(v, xyz, feats, train=False)
+        assert v == {}  # WOMLP: parameter-free by construction
+        assert pooled.shape == (2, 16, 3 + 6)
+
+        # manual composition oracle (reference :303-333 semantics)
+        idx = ops.ball_query(xyz, new_xyz, 0.3, 8)
+        gx = (ops.group_points(xyz, idx) - new_xyz[:, :, None, :]) / 0.3
+        gf = ops.group_points(feats, idx)
+        grouped = np.concatenate([np.asarray(gx), np.asarray(gf)], axis=-1)
+        if pooling == "max":
+            want = grouped.max(axis=2)
+        elif pooling == "avg":
+            want = grouped.mean(axis=2)
+        else:
+            sigma = 0.3 / 2
+            rbf = np.exp(-np.square(np.asarray(gx)).sum(-1) / sigma**2 / 2)
+            want = (grouped * rbf[..., None]).sum(axis=2) / 8.0
+        np.testing.assert_allclose(np.asarray(pooled), want, atol=1e-5)
+
+    def test_lfp_msg_shapes_and_shared_post_mlp(self, rng):
+        from graspbalance_tpu.nn.sa_fp import LocalFeaturePropagationMSG
+
+        xyz1, feats1 = self._scene(rng, n=96, c=6)
+        xyz2, feats2 = self._scene(rng, n=24, c=4)
+        m = LocalFeaturePropagationMSG(
+            radii=(0.2, 0.5), nsamples=(8, 16), mlps=((16, 32), (16, 32)),
+            post_mlp=(32, 24),
+        )
+        v = m.init(
+            jax.random.PRNGKey(0), xyz2, xyz1, feats2, feats1, train=False
+        )
+        out = m.apply(v, xyz2, xyz1, feats2, feats1, train=False)
+        assert out.shape == (2, 24, 2 * 24)
+        # reference builds ONE post_mlp shared by all scales (:453)
+        assert "post_mlp" in v["params"]
+        assert "post_mlp0" not in v["params"]
