@@ -85,7 +85,7 @@ class MultiScaleWidthGrouping(nn.Module):
     scales: Sequence[float] = (0.25, 0.5, 0.75, 1.0)
     mlp: Sequence[int] = (64, 128, 256)
     query_order: str = "index"
-    impl: str = "auto"  # 'fused_pallas' | 'xla' | 'auto' (pallas on TPU)
+    impl: str = "auto"  # 'fused_pallas' | 'xla' | 'auto'
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -93,11 +93,13 @@ class MultiScaleWidthGrouping(nn.Module):
         radii = tuple(s * self.cylinder_radius for s in self.scales)
         impl = self.impl
         if impl == "auto":
-            # the fused kernel implements 'index' (reference) order only
-            use_pallas = (
-                jax.default_backend() == "tpu" and self.query_order == "index"
-            )
-            impl = "fused_pallas" if use_pallas else "xla"
+            # v5e measurement (tools/bench_multicyl_kernel.py, 2026-08):
+            # the fused Pallas kernel runs ~256 ms net at production shape
+            # (bs=4, 20k pts, 1024 seeds) vs ~96 ms for the XLA
+            # query + gather + rotate — its one-hot coordinate-extraction
+            # matmuls are MXU-bound at poor utilization. Keep XLA until the
+            # kernel's pick path is restructured.
+            impl = "xla"
         if impl == "fused_pallas":
             from graspbalance_tpu.ops.pallas.multicyl_kernel import (
                 multi_cylinder_group,
@@ -114,6 +116,7 @@ class MultiScaleWidthGrouping(nn.Module):
                 self.hmin,
                 tuple(self.hmax_list),
                 self.nsample,
+                emit_idx=False,  # idx unused: halves the custom-call result
             )  # (B, R, H, Ns, K, 3)
             n_r = len(radii)
         else:

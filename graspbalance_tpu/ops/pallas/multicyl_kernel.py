@@ -79,12 +79,13 @@ def _multicyl_kernel(
     ctr_ref,  # (1, C, 3) f32
     rot_ref,  # (1, C, 9) f32 row-major 3x3
     rel_ref,  # (1, RH, 3, C, K) f32 out
-    idx_ref,  # (1, RH, C, K) int32 out
+    idx_ref=None,  # (1, RH, C, K) int32 out (absent when emit_idx=False)
     *,
     n_combos: int,
     hmin: float,
     nsample: int,
     chunk: int,
+    emit_idx: bool = True,
 ):
     c = chunk
     t = cloud_ref.shape[2]
@@ -192,7 +193,8 @@ def _multicyl_kernel(
             rel_ref[0, combo, 0] = relx
             rel_ref[0, combo, 1] = rely
             rel_ref[0, combo, 2] = relz
-            idx_ref[0, combo] = final
+            if emit_idx:
+                idx_ref[0, combo] = final
             return 0
 
     # one traced body for all combos: keeps the Mosaic IR ~16x smaller than
@@ -202,7 +204,10 @@ def _multicyl_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("radii", "hmin", "hmaxs", "nsample", "chunk", "interpret"),
+    static_argnames=(
+        "radii", "hmin", "hmaxs", "nsample", "chunk", "call_chunk",
+        "emit_idx", "interpret",
+    ),
 )
 def multi_cylinder_group(
     cloud: jnp.ndarray,
@@ -214,8 +219,10 @@ def multi_cylinder_group(
     nsample: int,
     *,
     chunk: int = 16,
+    call_chunk: int = 256,
+    emit_idx: bool = True,
     interpret: bool = False,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
+) -> tuple[jnp.ndarray, jnp.ndarray | None]:
     """All (radius, hmax) cylinder queries + grouping + gripper-frame rotation
     in one kernel pass over the cloud.
 
@@ -226,13 +233,22 @@ def multi_cylinder_group(
       radii / hmaxs: the 4x4 combo grid (static).
       nsample: neighbors per combo (static, <= 128).
       chunk: centers per grid step (VMEM scales ~linearly with it).
+      call_chunk: centers per pallas_call. XLA:TPU stack-allocates a custom
+        call's operand+result buffers in scoped VMEM (16 MB limit); the full
+        (B, 16, 3, M, K) f32 result is ~50 MB at production shape, which
+        aborts compilation. Slicing the centers axis across several calls
+        keeps each call's I/O under the limit while still computing the
+        rotated coordinates once per center for all 16 combos.
+      emit_idx: also return the query indices (the grasp head only consumes
+        the rotated coordinates; dropping idx halves the result traffic).
 
     Returns:
       rel: (B, R, H, M, nsample, 3) f32 — R^T (p_k - c), the rotated grouped
            relative coordinates (== CylinderQueryAndGroup's grouped_xyz after
            rotate_xyz, pointnet2_utils.py:281-284; ~1e-6 m abs tolerance from
            the hi/lo bf16 reconstruction).
-      idx: (B, R, H, M, nsample) int32 — reference-exact query indices.
+      idx: (B, R, H, M, nsample) int32 — reference-exact query indices
+           (None when emit_idx=False).
     """
     b, n, _ = cloud.shape
     m = centers.shape[1]
@@ -242,7 +258,9 @@ def multi_cylinder_group(
         raise ValueError(f"nsample must be <= {_LANES}")
     t = _round_up(n, _LANES * 8) // _LANES  # T multiple of 8 sublanes
     n_pad = t * _LANES
-    m_pad = _round_up(m, chunk)
+    call_chunk = max(chunk, min(call_chunk, _round_up(m, chunk)))
+    call_chunk = _round_up(call_chunk, chunk)
+    m_pad = _round_up(m, call_chunk)
 
     cloud_t = jnp.transpose(cloud, (0, 2, 1))  # (B, 3, N)
     cloud_t = jnp.pad(
@@ -263,11 +281,46 @@ def multi_cylinder_group(
         hmin=hmin,
         nsample=nsample,
         chunk=chunk,
+        emit_idx=emit_idx,
     )
-    grid = (b, m_pad // chunk)
-    rel, idx = pl.pallas_call(
+    grid = (b, call_chunk // chunk)
+    out_specs = [
+        pl.BlockSpec(
+            (1, rh, 3, chunk, nsample),
+            lambda i, j: (i, 0, 0, j, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    out_shapes = [
+        jax.ShapeDtypeStruct((b, rh, 3, call_chunk, nsample), jnp.float32),
+    ]
+    if emit_idx:
+        out_specs.append(
+            pl.BlockSpec(
+                (1, rh, chunk, nsample),
+                lambda i, j: (i, 0, j, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        out_shapes.append(
+            jax.ShapeDtypeStruct((b, rh, call_chunk, nsample), jnp.int32)
+        )
+
+    # Mosaic checks its computed per-kernel VMEM demand against a 16 MB
+    # default ("scoped vmem") limit; this kernel's tile buffers legitimately
+    # need more at 20k-point clouds (v5e has 128 MB physical VMEM).
+    try:
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        )
+    except TypeError:  # older jax: TPUCompilerParams
+        compiler_params = pltpu.TPUCompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        )
+    call = pl.pallas_call(
         kernel,
         grid=grid,
+        compiler_params=compiler_params,
         in_specs=[
             pl.BlockSpec(
                 (rh, 2), lambda i, j: (0, 0), memory_space=pltpu.SMEM
@@ -283,26 +336,29 @@ def multi_cylinder_group(
                 (1, chunk, 9), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
             ),
         ],
-        out_specs=(
-            pl.BlockSpec(
-                (1, rh, 3, chunk, nsample),
-                lambda i, j: (i, 0, 0, j, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, rh, chunk, nsample),
-                lambda i, j: (i, 0, j, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, rh, 3, m_pad, nsample), jnp.float32),
-            jax.ShapeDtypeStruct((b, rh, m_pad, nsample), jnp.int32),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
         interpret=interpret,
-    )(params, cloud_t, ctr_p, rot_p)
+    )
+
+    rel_parts, idx_parts = [], []
+    for s in range(m_pad // call_chunk):
+        lo = s * call_chunk
+        outs = call(
+            params,
+            cloud_t,
+            lax.slice_in_dim(ctr_p, lo, lo + call_chunk, axis=1),
+            lax.slice_in_dim(rot_p, lo, lo + call_chunk, axis=1),
+        )
+        rel_parts.append(outs[0])
+        if emit_idx:
+            idx_parts.append(outs[1])
+    rel = rel_parts[0] if len(rel_parts) == 1 else jnp.concatenate(rel_parts, axis=3)
 
     rel = rel[:, :, :, :m].reshape(b, n_r, n_h, 3, m, nsample)
     rel = jnp.transpose(rel, (0, 1, 2, 4, 5, 3))  # (B,R,H,M,K,3)
+    if not emit_idx:
+        return rel, None
+    idx = idx_parts[0] if len(idx_parts) == 1 else jnp.concatenate(idx_parts, axis=2)
     idx = idx[:, :, :m].reshape(b, n_r, n_h, m, nsample)
     return rel, idx

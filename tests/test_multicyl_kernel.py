@@ -92,3 +92,26 @@ def test_chunk_invariance(rng):
     )
     np.testing.assert_array_equal(np.asarray(idx8), np.asarray(idx16))
     np.testing.assert_allclose(np.asarray(rel8), np.asarray(rel16), atol=0)
+
+
+def test_call_chunk_and_emit_idx(rng):
+    # slicing the centers axis across several pallas_calls (the scoped-vmem
+    # workaround for production shapes) must be invariant, and the
+    # emit_idx=False fast path must return identical rel
+    cloud, centers, rot = _case(rng, b=1, n=500, m=48)
+    rel_one, idx_one = multi_cylinder_group(
+        cloud, centers, rot, RADII, HMIN, HMAXS, 16, chunk=8,
+        call_chunk=1024, interpret=True
+    )
+    rel_sliced, idx_sliced = multi_cylinder_group(
+        cloud, centers, rot, RADII, HMIN, HMAXS, 16, chunk=8,
+        call_chunk=16, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(idx_one), np.asarray(idx_sliced))
+    np.testing.assert_allclose(np.asarray(rel_one), np.asarray(rel_sliced), atol=0)
+    rel_noidx, none_idx = multi_cylinder_group(
+        cloud, centers, rot, RADII, HMIN, HMAXS, 16, chunk=8,
+        call_chunk=16, emit_idx=False, interpret=True
+    )
+    assert none_idx is None
+    np.testing.assert_allclose(np.asarray(rel_noidx), np.asarray(rel_sliced), atol=0)

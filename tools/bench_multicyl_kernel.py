@@ -82,18 +82,23 @@ def main():
             fn()
         return (time.perf_counter() - t0) / iters * 1e3  # ms
 
-    for chunk in (8, 16, 32):
+    # model configuration: emit_idx=False, call_chunk slices each pallas_call
+    # under the 16 MB scoped-vmem custom-call I/O limit
+    for chunk, call_chunk in ((8, 256), (16, 256), (32, 256), (16, 128), (16, 512)):
         try:
             f = jax.jit(
-                lambda c, s, r, ch=chunk: multi_cylinder_group(
-                    c, s, r, RADII, HMIN, HMAXS, k, chunk=ch
+                lambda c, s, r, ch=chunk, cc=call_chunk: multi_cylinder_group(
+                    c, s, r, RADII, HMIN, HMAXS, k, chunk=ch, call_chunk=cc,
+                    emit_idx=False,
                 )[0]
             )
             ms = timed(lambda: force(jnp.sum(f(cloud, centers, rot))))
             print(json.dumps({"bench": "fused_kernel", "chunk": chunk,
+                              "call_chunk": call_chunk,
                               "ms_incl_rt": round(ms, 2)}), flush=True)
         except Exception as e:  # noqa: BLE001
             print(json.dumps({"bench": "fused_kernel", "chunk": chunk,
+                              "call_chunk": call_chunk,
                               "error": str(e)[:400]}), flush=True)
 
     # old path: query + gather + rotate
