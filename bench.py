@@ -58,13 +58,22 @@ def main():
 
     float(forward(variables, cloud))  # warmup / compile
 
-    n_iters = 10
-    times = []
+    # throughput: pipelined dispatch (force once at the end) so the ~27 ms
+    # axon-tunnel round trip is amortized as it would be on a local TPU
+    # host under steady load; latency (p50) is still measured blocking.
+    n_iters = 20
+    t0 = time.perf_counter()
+    acc = None
     for _ in range(n_iters):
-        t0 = time.perf_counter()
+        acc = forward(variables, cloud)
+    float(acc)
+    total = time.perf_counter() - t0
+
+    times = []
+    for _ in range(8):
+        t1 = time.perf_counter()
         float(forward(variables, cloud))
-        times.append(time.perf_counter() - t0)
-    total = sum(times)
+        times.append(time.perf_counter() - t1)
 
     clouds_per_sec = batch_size * n_iters / total
     p50_scene_ms = float(np.median(times)) / batch_size * 1e3

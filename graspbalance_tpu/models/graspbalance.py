@@ -59,6 +59,10 @@ class GraspBalance(nn.Module):
     num_seed: int = 1024
     query_order: str = "index"
     dtype: jnp.dtype = jnp.float32
+    # compute dtype for the stage-2 per-scale SharedMLPs only: bf16 here is
+    # a measured 1.8x win on v5e (16.3 -> 9.1 ms bs=4) while bf16 for the
+    # backbone measured SLOWER; non-parity speed knob, f32 default.
+    width_mlp_dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(
@@ -141,7 +145,7 @@ class GraspBalance(nn.Module):
             hmax_list=tuple(self.hmax_list),
             scales=(0.25, 0.5, 0.75, 1.0) if self.multi_scale else (1.0,),
             query_order=self.query_order,
-            dtype=self.dtype,
+            dtype=self.width_mlp_dtype or self.dtype,
             name="width_grouping",
         )(
             stage2_seed_xyz, ep["input_xyz"], stage2_rot,

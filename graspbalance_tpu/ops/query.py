@@ -124,28 +124,94 @@ def _select(hit: jnp.ndarray, d2: jnp.ndarray, nsample: int, order: str) -> jnp.
 def _multi_first_k(xr, d2, radii, hmin, hmaxs, nsample, tile: int = 128):
     """First-k-by-index for all len(radii) x len(hmaxs) cylinder combos.
 
-    The rotated coordinates are padded/tiled ONCE (sentinel xr=+inf is a
-    non-hit for every combo); each combo's hit mask then fuses into the
-    tile-count reduction without re-materializing padded copies. (An int8
-    class-coding variant was benchmarked and is SLOWER on TPU v5e — VPU
-    lanes are 32-bit, so narrow types add conversion passes without
-    throughput; see docs/NOTES.md.)
+    Traffic-optimal formulation (v5e profile, 2026-08): the naive version
+    re-reads the (C, N) f32 xr/d2 planes for every one of the 16 combo
+    masks, which makes the query HBM-bound (~27 ms at production shape).
+    Instead each point's combo membership is compressed into ONE bf16
+    "class" plane materialized once:
+
+        rc = #{radii r_j : d2 >= r_j^2}     (0..R; 0 = inside the smallest)
+        hc = #{hmaxs h_j : xr >= h_j}       (0..H)
+        class = rc * 8 + hc, or 63 when xr <= hmin (never a hit)
+
+    so hit(r, h) == (class//8 <= r) & (class%8 <= h) — every comparison
+    against the original thresholds is preserved exactly, and all combo
+    counts + per-slot tile extractions read the single bf16 plane (class
+    values <= 63 are exact in bf16; the one-hot extraction matmul picks
+    exactly one element per row, so reconstruction is exact).
     """
+    if len(radii) > 7 or len(hmaxs) > 7:
+        raise ValueError("class encoding supports at most 7 radii/hmaxs")
     c, n = d2.shape
     t = _round_up(n, tile) // tile
     pad = t * tile - n
-    xr_t = jnp.pad(xr, ((0, 0), (0, pad)), constant_values=jnp.inf)
-    d2_t = jnp.pad(d2, ((0, 0), (0, pad)), constant_values=jnp.inf)
-    xr_t = xr_t.reshape(c, t, tile)
-    d2_t = d2_t.reshape(c, t, tile)
-    outs = []
+    rc = jnp.zeros_like(d2)
     for radius in radii:
+        rc = rc + (d2 >= radius * radius).astype(jnp.float32)
+    hc = jnp.zeros_like(xr)
+    for hmax in hmaxs:
+        hc = hc + (xr >= hmax).astype(jnp.float32)
+    cls = jnp.where(xr > hmin, rc * 8.0 + hc, 63.0)
+    cls = jnp.pad(cls, ((0, 0), (0, pad)), constant_values=63.0)
+    cls_t = cls.reshape(c, t, tile).astype(jnp.bfloat16)
+    # NOTE (v5e, 2026-08): batching all 16 combos' slot-tile extractions
+    # into one (C, RH*k, t) einsum was tried and is 4x SLOWER — the decoded
+    # (C, RH, k, tile) f32 cumsum/compare chains materialize ~134 MB per
+    # chunk. Per-combo extraction keeps the working set per step small.
+    outs = []
+    for ri in range(len(radii)):
         row = []
-        for hmax in hmaxs:
-            hit = (d2_t < radius * radius) & (xr_t > hmin) & (xr_t < hmax)
-            row.append(_first_k_from_tiled(hit, nsample))
+        for hi in range(len(hmaxs)):
+            row.append(_first_k_from_class(cls_t, ri, hi, nsample))
         outs.append(jnp.stack(row, axis=0))
     return jnp.stack(outs, axis=0)  # (R, H, C, nsample)
+
+
+def _first_k_from_class(cls_t: jnp.ndarray, ri: int, hi: int, nsample: int) -> jnp.ndarray:
+    """first-k-by-index from the bf16 class plane (see _multi_first_k).
+
+    Same two-level rank-position selection as _first_k_from_tiled, but the
+    per-slot tile extraction pulls CLASS values (exact one-hot matmul) and
+    decodes the hit bit locally, so the only (C, N)-sized operand every
+    combo touches is the shared class plane.
+    """
+    c, t, tile = cls_t.shape
+
+    def decode_hit(v):  # v: integer-valued class in f32
+        div = jnp.floor(v * 0.125)
+        mod = v - div * 8.0
+        return (div <= ri + 0.5) & (mod <= hi + 0.5)
+
+    hit = decode_hit(cls_t.astype(jnp.float32))
+    tile_cnt = jnp.sum(hit.astype(jnp.int32), axis=-1)  # (C, t)
+    tile_cum = jnp.cumsum(tile_cnt, axis=-1)
+    count = tile_cum[..., -1:]
+    js = jnp.arange(nsample, dtype=jnp.int32)
+    tj = jnp.sum((tile_cum[..., None] <= js).astype(jnp.int32), axis=-2)
+    tj = jnp.minimum(tj, t - 1)
+    onehot16 = jax.nn.one_hot(tj, t, dtype=jnp.bfloat16)  # (C, k, t)
+    excl = tile_cum - tile_cnt  # exclusive cumsum
+    # base via the one-hot matvec, NOT take_along_axis: the gather lowering
+    # breaks XLA's fusion grouping here and costs ~3x on the whole query
+    # (measured v5e 2026-08: 71.6 ms vs 22.5 ms total)
+    base = jnp.einsum(
+        "...kt,...t->...k",
+        onehot16.astype(jnp.float32),
+        excl.astype(jnp.float32),
+    ).astype(jnp.int32)
+    # extract the slot tiles' CLASS values: exactly one 1 per one-hot row,
+    # bf16 products of integer-valued operands <= 63 are exact
+    tiles_cls = jnp.einsum(
+        "...kt,...tl->...kl", onehot16, cls_t,
+        preferred_element_type=jnp.float32,
+    )  # (C, k, tile)
+    tiles = decode_hit(tiles_cls).astype(jnp.float32)
+    local_cs = jnp.cumsum(tiles, axis=-1)
+    r = (js + 1 - base)[..., None].astype(jnp.float32)
+    pos_local = jnp.sum((local_cs < r).astype(jnp.int32), axis=-1)
+    pos = tj * tile + pos_local
+    pad = jnp.where(count > 0, pos[..., 0:1], 0)
+    return jnp.where(js < count, pos, pad).astype(jnp.int32)
 
 
 def _chunked_centers(fn, centers_like, chunk: int):

@@ -44,6 +44,11 @@ def build_model(cfg: Config) -> GraspBalance:
         num_seed=m.num_seed,
         query_order=m.query_order,
         dtype=jnp.bfloat16 if m.dtype == "bfloat16" else jnp.float32,
+        width_mlp_dtype=(
+            None if m.width_mlp_dtype is None
+            else jnp.bfloat16 if m.width_mlp_dtype == "bfloat16"
+            else jnp.float32
+        ),
     )
 
 
