@@ -179,3 +179,25 @@ class TestEndToEnd:
         rots = g[..., 4:13].reshape(-1, 3, 3)
         eye = np.einsum("nij,nkj->nik", rots, rots)
         np.testing.assert_allclose(eye, np.tile(np.eye(3), (len(rots), 1, 1)), atol=1e-4)
+
+
+class TestWidthMlpDtype:
+    def test_bf16_width_mlp_speed_mode_runs(self):
+        """model.width_mlp_dtype=bf16 (non-parity speed knob) must produce
+        finite outputs of unchanged shapes and dtype f32 at the heads."""
+        from graspbalance_tpu.models.graspbalance import GraspBalance
+
+        batch = make_batch(0, 1, TINY_CFG)
+        model = GraspBalance(
+            num_view=TINY_NUM_VIEW,
+            backbone="drp",
+            backbone_stages=TINY_STAGES,
+            num_seed=TINY_NUM_SEED,
+            width_mlp_dtype=jnp.bfloat16,
+        )
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        variables = model.init(jax.random.PRNGKey(0), jb, train=False)
+        ep = model.apply(variables, jb, train=False)
+        for k in ("grasp_score_pred", "grasp_width_pred", "grasp_tolerance_pred"):
+            assert ep[k].dtype == jnp.float32
+            assert bool(jnp.all(jnp.isfinite(ep[k]))), k
