@@ -82,16 +82,31 @@ def _process_single(seed_xyz, lbl):
     seed_view_inds = view_inds[seed_obj]  # (Ns,V)
 
     grasp_point = pts_cam[nn_inds]  # (Ns,3)
-    grasp_view = jnp.take_along_axis(
-        views_cam[seed_obj], seed_view_inds[..., None], axis=1
-    )  # (Ns,V,3)
-    grasp_view_rot = jnp.take_along_axis(
-        views_rot_cam[seed_obj], seed_view_inds[..., None, None], axis=1
-    )  # (Ns,V,3,3)
+
+    # Per-seed view permutation as a one-hot einsum at HIGHEST precision:
+    # bit-exact (an f32 value decomposes exactly into 3 bf16 terms, and a
+    # one-hot row has a single 1.0, so the 6-pass f32 matmul reconstructs
+    # the picked value exactly; verified in tests/test_label_parity.py) and
+    # ~60x faster than take_along_axis on v5e (0.8 vs 47 ms per big array —
+    # the gather lowers to a slice loop, the einsum rides the MXU with the
+    # one-hot fused).
+    view_oh = jax.nn.one_hot(seed_view_inds, v, dtype=jnp.float32)  # (Ns,V,V)
+
+    def permute_views(rows):
+        """rows (Ns, V, ...) -> rows[s, seed_view_inds[s, v]] via one-hot."""
+        extra = rows.shape[2:]
+        flat = rows.reshape(rows.shape[0], rows.shape[1], -1)
+        out = jnp.einsum(
+            "svw,swx->svx", view_oh, flat,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return out.reshape(rows.shape[:1] + (v,) + extra)
+
+    grasp_view = permute_views(views_cam[seed_obj])  # (Ns,V,3)
+    grasp_view_rot = permute_views(views_rot_cam[seed_obj])  # (Ns,V,3,3)
 
     def gather_vad(arr):
-        rows = arr[nn_inds]  # (Ns,V,A,D)
-        return jnp.take_along_axis(rows, seed_view_inds[..., None, None], axis=1)
+        return permute_views(arr[nn_inds])  # (Ns,V,A,D)
 
     return {
         "batch_grasp_point": grasp_point,

@@ -191,3 +191,24 @@ def test_match_top_view_gathers(rng=np.random.default_rng(8)):
         np.asarray(matched["batch_grasp_width"])[0, s],
         np.asarray(labels["batch_grasp_width"])[0, s, tv],
     )
+
+
+def test_onehot_view_permutation_bitexact():
+    """The one-hot einsum view permutation (HIGHEST precision) must be
+    BIT-exact vs take_along_axis on arbitrary f32 values."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    ns, v, a, d = 64, 60, 12, 4
+    rows = jnp.asarray(
+        (rng.standard_normal((ns, v, a, d)) * np.exp(
+            rng.uniform(-20, 20, (ns, v, a, d)))).astype(np.float32)
+    )
+    vi = jnp.asarray(rng.integers(0, v, (ns, v)).astype(np.int32))
+    want = jnp.take_along_axis(rows, vi[..., None, None], axis=1)
+    oh = jax.nn.one_hot(vi, v, dtype=jnp.float32)
+    got = jnp.einsum(
+        "svw,swad->svad", oh, rows, precision=jax.lax.Precision.HIGHEST
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

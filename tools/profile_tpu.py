@@ -133,6 +133,14 @@ def main():
         f = jax.jit(lambda v, c: model.apply(
             v, {"point_clouds": c}, train=False)["grasp_score_pred"])
         args = (v, cloud)
+    elif target == "labels":
+        from graspbalance_tpu.labels.label_gen import process_grasp_labels
+
+        batch = {k: jnp.asarray(x) for k, x in
+                 make_batch(0, 2, SceneConfig()).items()}
+        seed_xyz = batch["point_clouds"][:, :1024, :3]
+        f = jax.jit(lambda s, b: process_grasp_labels(s, b)["batch_grasp_label"])
+        args = (seed_xyz, batch)
     elif target == "train":
         from graspbalance_tpu.train import train_step as ts
 
