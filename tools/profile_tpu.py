@@ -171,7 +171,8 @@ def main():
     force(f(*args))  # compile
     if os.environ.get("GB_DUMP_HLO"):
         try:
-            txt = jax.jit(f).lower(*args).compile().as_text()
+            lowered = f.lower(*args) if hasattr(f, "lower") else jax.jit(f).lower(*args)
+            txt = lowered.compile().as_text()
             out = f"/tmp/gb_hlo_{target}.txt"
             with open(out, "w") as fh:
                 fh.write(txt)
