@@ -58,6 +58,9 @@ class LocalAggregation(nn.Module):
             _, idx = ops.knn(xyz, xyz, self.nsample)
         else:
             raise ValueError(f"unknown grouper {self.grouper}")
+        # NOTE: gathering xyz+feats as one concatenated (3+C)-wide gather
+        # was measured SLOWER on v5e (backbone 30 -> 35 ms) — unaligned
+        # 131-float rows gather worse than two aligned gathers. Keep split.
         dp = ops.group_points(xyz, idx) - xyz[:, :, None, :]  # (B,N,K,3)
         fj = ops.group_points(feats, idx)  # (B,N,K,C)
         dp = dp.astype(fj.dtype)

@@ -62,6 +62,8 @@ class SetAbstraction(nn.Module):
         idx = ops.ball_query(
             xyz, new_xyz, self.radius, self.nsample, order=self.query_order
         )
+        # (fusing the xyz+feats gathers into one concatenated-width gather
+        # was measured slower on v5e — unaligned rows; keep them split)
         grouped_xyz = ops.group_points(xyz, idx) - new_xyz[:, :, None, :]
         if self.normalize_xyz:
             grouped_xyz = grouped_xyz / self.radius

@@ -25,7 +25,12 @@ def _flat_take(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     flat = points.reshape(b * n, c)
     offs = (jnp.arange(b, dtype=jnp.int32) * n).reshape((b,) + (1,) * (idx.ndim - 1))
     g = idx.astype(jnp.int32) + offs
-    return jnp.take(flat, g.reshape(-1), axis=0).reshape(idx.shape + (c,))
+    # indices come from our own query/sampling ops and are always in
+    # bounds; promising so removes a ~3 ms bounds-check select pass per
+    # forward (v5e, profiled 2026-08)
+    return flat.at[g.reshape(-1)].get(mode="promise_in_bounds").reshape(
+        idx.shape + (c,)
+    )
 
 
 def gather_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
