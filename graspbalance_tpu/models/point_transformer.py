@@ -31,11 +31,14 @@ class VectorAttention(nn.Module):
     channels: int
     knn: int = 16
     dtype: jnp.dtype = jnp.float32
+    knn_method: str = "approx"  # TPU approx-top-k; this backbone has no
+    # reference counterpart (pct_zh absent), so no parity constraint —
+    # exact lax.top_k full sorts were 34 ms of the 55 ms DSN path (v5e)
 
     @nn.compact
     def __call__(self, xyz, feats, *, train: bool, bn_momentum=0.1):
         # (B, N, 3), (B, N, C)
-        _, idx = ops.knn(xyz, xyz, self.knn)  # (B, N, K)
+        _, idx = ops.knn(xyz, xyz, self.knn, method=self.knn_method)  # (B, N, K)
         c = self.channels
         q = nn.Dense(c, dtype=self.dtype, name="q")(feats)
         k = nn.Dense(c, dtype=self.dtype, name="k")(feats)

@@ -133,6 +133,21 @@ def main():
         f = jax.jit(lambda v, c: model.apply(
             v, {"point_clouds": c}, train=False)["grasp_score_pred"])
         args = (v, cloud)
+    elif target == "dsnpath":
+        from graspbalance_tpu.models.dsn import DSN, cluster
+
+        dsn = DSN()
+        dv = jax.jit(lambda r, c: dsn.init(r, c, train=False))(
+            jax.random.PRNGKey(1), cloud[:1])
+
+        @jax.jit
+        def f(dv, c, key):
+            seg = dsn.apply(dv, c, train=False)
+            fg = jnp.argmax(seg["foreground_logits"], axis=-1) == 1
+            labels, _, _ = cluster(c[..., :3], seg["center_offsets"], fg, key)
+            return jnp.sum(labels)
+
+        args = (dv, cloud, jax.random.PRNGKey(2))
     elif target == "labels":
         from graspbalance_tpu.labels.label_gen import process_grasp_labels
 
