@@ -133,6 +133,34 @@ def main():
         f = jax.jit(lambda v, c: model.apply(
             v, {"point_clouds": c}, train=False)["grasp_score_pred"])
         args = (v, cloud)
+    elif target == "postproc":
+        from graspbalance_tpu.eval.collision import (
+            collision_detect,
+            voxel_downsample_fixed,
+        )
+        from graspbalance_tpu.eval.nms import grasp_nms
+        from graspbalance_tpu.models.decode import pred_decode
+
+        cfg = Config()
+        model = build_model(cfg)
+        v = jax.jit(lambda r, b: model.init(r, b, train=False))(
+            jax.random.PRNGKey(0), {"point_clouds": cloud[:1]})
+        ep = jax.jit(lambda v, c: model.apply(v, {"point_clouds": c}, train=False))(
+            v, cloud)
+        grasps, valid = jax.jit(pred_decode)(ep)
+
+        @jax.jit
+        def f(grasps, valid, c):
+            def post(g, val, s):
+                keep = grasp_nms(g, val)
+                s_ds, s_valid = voxel_downsample_fixed(s)
+                coll = collision_detect(s_ds, g, scene_valid=s_valid)
+                return keep & ~coll
+
+            keep = jax.vmap(post)(grasps, valid, c)
+            return jnp.sum(keep)
+
+        args = (grasps, valid, cloud)
     elif target == "dsnpath":
         from graspbalance_tpu.models.dsn import DSN, cluster
 
