@@ -52,18 +52,36 @@ def grasp_nms(
     conflict_o = conflict[order][:, order]
     valid_o = valid[order]
 
-    def body(i, state):
-        keep, alive = state
-        take = alive[i] & valid_o[i]
-        keep = keep.at[i].set(take)
-        alive = jnp.where(take, alive & ~conflict_o[i], alive)
-        # a grasp never suppresses itself
-        alive = alive.at[i].set(False)
-        return keep, alive
+    # Greedy suppression solves keep[i] = valid[i] & ~any_{j<i}(C[j,i] &
+    # keep[j]) — a strictly lower-triangular recurrence. Jacobi-iterate it
+    # to the fixpoint: after t sweeps every grasp whose suppression-chain
+    # depth is <= t is final, so the first no-change sweep IS the exact
+    # greedy solution (induction over score rank). Each sweep is one
+    # (G, G) matvec on the MXU; typical scenes converge in < 10 sweeps —
+    # vs the former G-step scalar fori_loop whose 1024 tiny
+    # dynamic-update-slices dominated the e2e post-processing profile.
+    ii = jnp.arange(g)
+    lower = conflict_o & (ii[:, None] < ii[None, :])  # C[j, i] for j < i
+    lower16 = lower.astype(jnp.bfloat16)
 
-    keep_o, _ = lax.fori_loop(
-        0, g, body, (jnp.zeros((g,), bool), jnp.ones((g,), bool))
-    )
+    def cond(state):
+        k, prev, it = state
+        return jnp.logical_and(jnp.any(k != prev), it < g)
+
+    def step(state):
+        k, _, it = state
+        hit = (
+            jnp.einsum(
+                "ji,j->i", lower16, k.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+            > 0.5
+        )
+        return valid_o & ~hit, k, it + 1
+
+    k0 = valid_o
+    k1, _, _ = step((k0, jnp.zeros_like(k0), 0))
+    keep_o, _, _ = lax.while_loop(cond, step, (k1, k0, 1))
     # scatter back to original order
     keep = jnp.zeros((g,), bool).at[order].set(keep_o)
     return keep
