@@ -85,6 +85,10 @@ def main():
                 "unit": "clouds/s",
                 "vs_baseline": round(clouds_per_sec / BASELINE_CLOUDS_PER_SEC, 3),
                 "p50_ms": round(p50_scene_ms, 2),
+                # throughput methodology: dispatch is pipelined (forced once
+                # at the end) since round 2 — round-1 numbers were blocking
+                # per-iteration and are not directly comparable
+                "method": "pipelined",
             }
         )
     )

@@ -102,7 +102,7 @@ def main():
             # instance segmentation feeds OBS re-seeding before stage 1
             from graspbalance_tpu.models.dsn import DSN, cluster
 
-            dsn = DSN()
+            dsn = DSN(knn_method="approx")  # benchmark speed mode (opt-in; default is exact)
             dv = jax.jit(lambda r, c: dsn.init(r, c, train=False))(
                 jax.random.PRNGKey(1), cloud[:1]
             )

@@ -122,6 +122,11 @@ class GraspNetDataset:
         self.grasp_labels = grasp_labels
         self._seed = seed
         self.epoch = 0  # set by the loader per epoch; varies augmentation
+        # truncation telemetry: counts of items whose per-object desired
+        # grasp-point total exceeded max_grasp_points (labels were then
+        # proportionally shrunk, see __getitem__) and of points dropped
+        self.truncated_items = 0
+        self.truncated_points = 0
 
         scene_names = [f"scene_{x:04d}" for x in SPLIT_SCENES[split]]
         self.samples = []  # (scene, frame)
@@ -243,13 +248,20 @@ class GraspNetDataset:
         lbl_shapes = None
         g_lab = g_wid = g_tol = None
 
-        slot, cursor = 0, 0
+        # Pass 1: per-object reference take counts. The reference keeps
+        # min(max(Np/4, 300), Np) grasp points PER OBJECT with no global cap
+        # (graspnet_dataset.py:208); our padded buffer has p_max slots total,
+        # so when the desired total overflows we shrink every object's take
+        # proportionally (preserving the reference's per-object ratios)
+        # instead of silently dropping trailing objects — the latter is
+        # exactly the small-object starvation GraspBalance exists to avoid.
+        per_obj = []  # (i, obj_idx, points, widths, scores, tolerance, coll)
         for i, obj_idx in enumerate(obj_idxs):
             if int(obj_idx) not in self.valid_obj_idxs:
                 continue
             if (seg_s == obj_idx).sum() < 50:
                 continue
-            if slot >= o_max:
+            if len(per_obj) >= o_max:
                 break
             points, widths, scores, tolerance = self.grasp_labels[int(obj_idx)]
             coll = collision[i] if collision is not None else None
@@ -263,12 +275,34 @@ class GraspNetDataset:
                     coll = coll[vis]
             if len(points) == 0:
                 continue
-            take = min(max(len(points) // 4, 300), len(points))
-            sel = rng.choice(len(points), take, replace=False)
-            take = min(take, p_max - cursor)
+            per_obj.append((i, points, widths, scores, tolerance, coll))
+
+        desired = np.array(
+            [min(max(len(p) // 4, 300), len(p)) for _, p, *_ in per_obj],
+            np.int64,
+        )
+        takes = desired.copy()
+        if desired.sum() > p_max:
+            # largest-remainder proportional allocation: floor(d*p_max/total)
+            # (never exceeds the original desire or Np), then hand leftover
+            # slots to the largest fractional remainders
+            total = int(desired.sum())
+            scaled = desired * p_max
+            takes = scaled // total
+            rem = scaled - takes * total
+            for j in np.argsort(-rem)[: p_max - int(takes.sum())]:
+                takes[j] += 1
+            self.truncated_items += 1
+            self.truncated_points += total - p_max
+
+        slot, cursor = 0, 0
+        for (i, points, widths, scores, tolerance, coll), take in zip(
+            per_obj, takes
+        ):
+            take = int(take)
             if take <= 0:
-                break
-            sel = sel[:take]
+                continue
+            sel = rng.choice(len(points), take, replace=False)
             sl = slice(cursor, cursor + take)
             g_pts[sl] = points[sel]
             g_obj[sl] = slot

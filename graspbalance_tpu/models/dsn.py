@@ -25,13 +25,17 @@ class DSN(nn.Module):
         (1024, 0.1, 16, 128, 2),
     )
     dtype: jnp.dtype = jnp.float32
+    # attention-neighbor search: 'exact' (default) | 'approx' (TPU
+    # approx-top-k speed mode, recall < 1.0 — see VectorAttention)
+    knn_method: str = "exact"
 
     @nn.compact
     def __call__(self, pointcloud, *, sa_inds=None, train: bool = False, bn_momentum=0.1):
         """pointcloud (B, N, 3) -> dict with foreground_logits (B, N, 2)
         and center_offsets (B, N, 3), upsampled to the full cloud."""
         bb = PointTransformerSeg(
-            stages=self.pt_stages, dtype=self.dtype, name="backbone"
+            stages=self.pt_stages, dtype=self.dtype,
+            knn_method=self.knn_method, name="backbone"
         )(pointcloud, sa_inds=sa_inds, train=train, bn_momentum=bn_momentum)
         seed_xyz = bb["seed_xyz"]
         feats = bb["seed_features"]

@@ -31,9 +31,13 @@ class VectorAttention(nn.Module):
     channels: int
     knn: int = 16
     dtype: jnp.dtype = jnp.float32
-    knn_method: str = "approx"  # TPU approx-top-k; this backbone has no
-    # reference counterpart (pct_zh absent), so no parity constraint —
-    # exact lax.top_k full sorts were 34 ms of the 55 ms DSN path (v5e)
+    # 'exact' (conservative default, like every other accuracy knob here) or
+    # 'approx' (TPU approx-top-k unit, recall < 1.0): the reference DSN uses
+    # an unvendored pct_zh backbone so there is no bit-parity target, but
+    # approx still changes numerics — opt in via DSN(knn_method="approx").
+    # Measured v5e: exact lax.top_k full sorts were 34 ms of the 55 ms DSN
+    # path; approx cuts the DSN+cluster device time to ~20 ms.
+    knn_method: str = "exact"
 
     @nn.compact
     def __call__(self, xyz, feats, *, train: bool, bn_momentum=0.1):
@@ -64,11 +68,13 @@ class PTBlock(nn.Module):
     channels: int
     knn: int = 16
     dtype: jnp.dtype = jnp.float32
+    knn_method: str = "exact"
 
     @nn.compact
     def __call__(self, xyz, feats, *, train: bool, bn_momentum=0.1):
         h = nn.LayerNorm(dtype=self.dtype, name="ln1")(feats)
-        h = VectorAttention(self.channels, self.knn, self.dtype, name="attn")(
+        h = VectorAttention(self.channels, self.knn, self.dtype,
+                            self.knn_method, name="attn")(
             xyz, h, train=train, bn_momentum=bn_momentum
         )
         feats = feats + h
@@ -90,6 +96,7 @@ class PointTransformerSeg(nn.Module):
     out_channels: int = 256
     knn: int = 16
     dtype: jnp.dtype = jnp.float32
+    knn_method: str = "exact"  # see VectorAttention.knn_method
 
     @nn.compact
     def __call__(self, pointcloud, *, sa_inds=None, train: bool = False, bn_momentum=0.1):
@@ -121,7 +128,8 @@ class PointTransformerSeg(nn.Module):
             xyz = new_xyz
             for j in range(n_blocks):
                 feats = PTBlock(
-                    channels, self.knn, self.dtype, name=f"block{i}_{j}"
+                    channels, self.knn, self.dtype, self.knn_method,
+                    name=f"block{i}_{j}"
                 )(xyz, feats, train=train, bn_momentum=bn_momentum)
         feats = nn.Dense(self.out_channels, dtype=self.dtype, name="proj")(feats)
         return {"seed_xyz": xyz, "seed_features": feats.astype(jnp.float32)}

@@ -34,10 +34,21 @@ def _flat_take(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 
 
 def gather_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """points (B, N, C), idx (B, M) int -> (B, M, C)."""
+    """points (B, N, C), idx (B, M) int -> (B, M, C).
+
+    Precondition: every index must be in [0, N). Indices are gathered with
+    mode="promise_in_bounds" for speed, so out-of-range values (including
+    -1 sentinels) yield undefined garbage, not clamping. Call sites feeding
+    indices from fps/ball_query/cylinder_query/knn always satisfy this;
+    validate externally (see tests/test_ops.py) if indices come from
+    anywhere else.
+    """
     return _flat_take(points, idx)
 
 
 def group_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """points (B, N, C), idx (B, M, K) int -> (B, M, K, C)."""
+    """points (B, N, C), idx (B, M, K) int -> (B, M, K, C).
+
+    Precondition: every index must be in [0, N) — see gather_points.
+    """
     return _flat_take(points, idx)

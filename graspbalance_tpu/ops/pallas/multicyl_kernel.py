@@ -309,14 +309,9 @@ def multi_cylinder_group(
     # Mosaic checks its computed per-kernel VMEM demand against a 16 MB
     # default ("scoped vmem") limit; this kernel's tile buffers legitimately
     # need more at 20k-point clouds (v5e has 128 MB physical VMEM).
-    try:
-        compiler_params = pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
-        )
-    except TypeError:  # older jax: TPUCompilerParams
-        compiler_params = pltpu.TPUCompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
-        )
+    # older jax spells it TPUCompilerParams and has no CompilerParams attr
+    params_cls = getattr(pltpu, "CompilerParams", None) or pltpu.TPUCompilerParams
+    compiler_params = params_cls(vmem_limit_bytes=100 * 1024 * 1024)
     call = pl.pallas_call(
         kernel,
         grid=grid,

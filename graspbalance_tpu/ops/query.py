@@ -142,6 +142,14 @@ def _multi_first_k(xr, d2, radii, hmin, hmaxs, nsample, tile: int = 128):
     """
     if len(radii) > 7 or len(hmaxs) > 7:
         raise ValueError("class encoding supports at most 7 radii/hmaxs")
+    # the rank-count decode (rc <= ri, hc <= hi) is only equivalent to the
+    # per-combo masks when thresholds are ascending; reject silent misuse
+    if list(radii) != sorted(radii) or list(hmaxs) != sorted(hmaxs):
+        raise ValueError(
+            "multi_cylinder_query order='index' requires ascending radii and "
+            f"hmaxs (got radii={radii}, hmaxs={hmaxs}); sort them and remap "
+            "the output combo axes, or use order='nearest'"
+        )
     c, n = d2.shape
     t = _round_up(n, tile) // tile
     pad = t * tile - n

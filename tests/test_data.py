@@ -159,6 +159,49 @@ class TestLoader:
         assert batch["point_clouds"].shape == (2, 2048, 3)
         assert batch["grasp_labels"].shape == (2, 256, 30, 12, 4)
 
+    def test_dense_scene_proportional_truncation(self, tmp_path_factory):
+        """A scene whose per-object reference take counts overflow
+        max_grasp_points must shrink every object PROPORTIONALLY (reference
+        semantics keep min(max(Np/4,300),Np) per object with no global cap,
+        graspnet_dataset.py:208) — never silently drop trailing objects."""
+        root = str(tmp_path_factory.mktemp("graspnet_dense"))
+        fabricate_dataset(root)
+        valid, labels = load_grasp_labels(root)
+        # remove_invisible=False makes desired counts exact: each of the 3
+        # objects has 120 labeled points < 300, so desired = 120 each
+        # (total 360) against a 256-point cap -> largest-remainder takes
+        # are floor(120*256/360)=85 each plus one leftover slot = [85,85,86]
+        ds = GraspNetDataset(
+            root, valid, labels,
+            camera="realsense", split="all", num_points=2048,
+            max_objects=4, max_grasp_points=256,
+            remove_outlier=False, remove_invisible=False,
+        )
+        assert ds.truncated_items == 0
+        item = ds[0]
+        assert ds.truncated_items == 1
+        assert ds.truncated_points == 360 - 256
+        used_obj = item["grasp_pt_obj"][item["grasp_pt_mask"]]
+        n_obj = int(item["obj_mask"].sum())
+        assert n_obj == 3
+        counts = np.bincount(used_obj, minlength=n_obj)
+        assert sorted(counts) == [85, 85, 86]  # every object keeps its share
+        assert item["grasp_pt_mask"].sum() == 256  # buffer fully used
+
+        # control: a cap that fits takes the full reference counts
+        ds_big = GraspNetDataset(
+            root, valid, labels,
+            camera="realsense", split="all", num_points=2048,
+            max_objects=4, max_grasp_points=512,
+            remove_outlier=False, remove_invisible=False,
+        )
+        item = ds_big[0]
+        assert ds_big.truncated_items == 0
+        counts = np.bincount(
+            item["grasp_pt_obj"][item["grasp_pt_mask"]], minlength=3
+        )
+        assert list(counts) == [120, 120, 120]
+
 
 class TestHostUtils:
     def test_depth_projection(self, rng):

@@ -164,7 +164,7 @@ def main():
     elif target == "dsnpath":
         from graspbalance_tpu.models.dsn import DSN, cluster
 
-        dsn = DSN()
+        dsn = DSN(knn_method="approx")  # benchmark speed mode (opt-in; default is exact)
         dv = jax.jit(lambda r, c: dsn.init(r, c, train=False))(
             jax.random.PRNGKey(1), cloud[:1])
 
