@@ -49,6 +49,15 @@ class CheckpointManager:
             )
         return self._best_mgr
 
+    def save_config(self, cfg):
+        """Write the Config next to the checkpoints so inference drivers can
+        rebuild the exact model (the reference never persists its argparse
+        flags; a mismatched restore fails deep inside apply)."""
+        from graspbalance_tpu.train.config import config_to_dict
+
+        with open(os.path.join(self._dir, "config.json"), "w") as f:
+            json.dump(config_to_dict(cfg), f, indent=1)
+
     def best_loss(self) -> float | None:
         if os.path.exists(self._best_path):
             with open(self._best_path) as f:
@@ -116,6 +125,18 @@ class CheckpointManager:
             self._best_mgr.close()
 
 
+def load_config(directory: str):
+    """Config saved by CheckpointManager.save_config, or None if absent
+    (pre-round-3 checkpoints)."""
+    from graspbalance_tpu.train.config import config_from_dict
+
+    path = os.path.join(os.path.abspath(directory), "config.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return config_from_dict(json.load(f))
+
+
 def load_inference_variables(
     directory: str, step: int | None = None, best: bool = False
 ) -> tuple[dict, int]:
@@ -128,6 +149,11 @@ def load_inference_variables(
     directory = os.path.abspath(directory)
     if best:
         directory = os.path.join(directory, "best")
+        if not os.path.isdir(directory):
+            raise FileNotFoundError(
+                f"no best-loss mirror at {directory} (train long enough for "
+                "one epoch-end save with metrics, or drop --best)"
+            )
     with ocp.CheckpointManager(directory) as mgr:
         if step is None:
             step = mgr.latest_step()

@@ -63,3 +63,30 @@ class Config:
     model: ModelConfig = ModelConfig()
     data: DataConfig = DataConfig()
     train: TrainConfig = TrainConfig()
+
+
+def config_to_dict(cfg: Config) -> dict:
+    """JSON-serializable dict (tuples become lists; from_dict restores them)."""
+    return dataclasses.asdict(cfg)
+
+
+def config_from_dict(d: dict) -> Config:
+    """Inverse of config_to_dict; ignores unknown keys (forward compat) so a
+    checkpoint written by a newer build still restores."""
+
+    def tuplify(v):
+        # JSON has no tuple; every sequence-valued config field is a tuple
+        # (hmax_list, backbone_stages incl. nested stage rows)
+        if isinstance(v, list):
+            return tuple(tuplify(x) for x in v)
+        return v
+
+    def build(cls, sub: dict):
+        names = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: tuplify(v) for k, v in sub.items() if k in names})
+
+    return Config(
+        model=build(ModelConfig, d.get("model", {})),
+        data=build(DataConfig, d.get("data", {})),
+        train=build(TrainConfig, d.get("train", {})),
+    )

@@ -76,6 +76,7 @@ def train(
         eval_step = make_eval_step(model, cfg)
 
         ckpt = CheckpointManager(cfg.train.log_dir + "/checkpoints")
+        ckpt.save_config(cfg)  # lets infer.py rebuild the matching model
         state, extra = ckpt.restore(state)
         start_epoch = int(extra.get("epoch", 0)) if extra else (
             int(state.step) // steps_per_epoch

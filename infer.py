@@ -41,15 +41,18 @@ def main():
     from graspbalance_tpu.eval.pipeline import GraspInference, to_grasp_group_array
 
     cfg = Config(data=DataConfig(num_points=args.num_point))
+    if args.checkpoint_dir:
+        # rebuild the exact trained model from the config the trainer saved
+        # next to the checkpoints (architecture is not stored in the weights)
+        from graspbalance_tpu.train.checkpoints import load_config
+
+        saved = load_config(args.checkpoint_dir)
+        if saved is not None:
+            import dataclasses
+
+            cfg = dataclasses.replace(saved, data=cfg.data)
     model = build_model(cfg)
 
-    rng = np.random.default_rng(0)
-    sample_cloud = jnp.asarray(
-        rng.random((1, args.num_point, 3), dtype=np.float32) - 0.5
-    )
-    variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
-        jax.random.PRNGKey(0), {"point_clouds": sample_cloud}
-    )
     if args.checkpoint_dir:
         from graspbalance_tpu.train.checkpoints import load_inference_variables
 
@@ -57,6 +60,14 @@ def main():
             args.checkpoint_dir, best=args.best
         )
         print(f"restored checkpoint step {step}")
+    else:
+        rng = np.random.default_rng(0)
+        sample_cloud = jnp.asarray(
+            rng.random((1, args.num_point, 3), dtype=np.float32) - 0.5
+        )
+        variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
+            jax.random.PRNGKey(0), {"point_clouds": sample_cloud}
+        )
 
     infer = GraspInference(model, variables, collision_thresh=args.collision_thresh)
 

@@ -49,6 +49,60 @@ def test_dataset_inference_dump(tmp_path):
     assert loaded.ndim == 2 and loaded.shape[1] == 17
 
 
+def test_cli_checkpoint_restore_paths(tmp_path, monkeypatch, capsys):
+    """Round-1 regression lock: drive infer.main()'s --checkpoint_dir and
+    --best CLI paths (not just load_inference_variables) end-to-end against
+    a real saved checkpoint + config.json."""
+    import sys
+
+    import infer
+    from graspbalance_tpu.train.checkpoints import CheckpointManager
+    from tests.test_train import tiny_setup
+
+    cfg, model, state, batch = tiny_setup(2, tmp_path)
+    step_fn = ts.make_train_step(model, cfg)
+    jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+    state, _ = step_fn(state, jbatch, jnp.int32(0))
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save_config(cfg)
+    mgr.save(1, state, metrics={"loss": 1.0})  # also mirrors into best/
+    mgr.close()
+
+    base = [
+        "infer.py", "--checkpoint_dir", str(tmp_path / "ckpt"),
+        "--num_point", "256", "--batch_size", "2",
+    ]
+    monkeypatch.setattr(sys, "argv", base)
+    infer.main()
+    out = capsys.readouterr().out
+    assert "restored checkpoint step 1" in out
+    assert "synthetic smoke" in out
+
+    monkeypatch.setattr(sys, "argv", base + ["--best"])
+    infer.main()
+    out = capsys.readouterr().out
+    assert "restored checkpoint step 1" in out
+
+
+def test_config_json_roundtrip(tmp_path):
+    import json
+
+    from graspbalance_tpu.train.config import (
+        Config, ModelConfig, config_from_dict, config_to_dict,
+    )
+
+    cfg = Config(model=ModelConfig(
+        num_view=TINY_NUM_VIEW, num_seed=TINY_NUM_SEED,
+        backbone_stages=TINY_STAGES,
+    ))
+    restored = config_from_dict(json.loads(json.dumps(config_to_dict(cfg))))
+    assert restored == cfg  # tuples (incl. nested stage rows) survive JSON
+    # unknown keys from a newer build are ignored, not fatal
+    d = config_to_dict(cfg)
+    d["model"]["future_flag"] = 7
+    assert config_from_dict(d) == cfg
+
+
 def test_one_batch_overfit_improves_metrics():
     cfg = Config(
         model=ModelConfig(
