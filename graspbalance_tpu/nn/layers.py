@@ -78,11 +78,12 @@ class BatchNorm(nn.Module):
 
 
 class MLPBlock(nn.Module):
-    """Dense (= 1x1 conv) + optional BN + optional ReLU, order conv-norm-act.
+    """Dense (= 1x1 conv) + optional norm + optional act, orderable.
 
     Mirrors create_convblock1d/2d (ModifiedNetTools/conv.py:24-145) and
-    pytorch_utils.Conv1d/2d (bias dropped when BN present, matching the
-    reference's bias=False-with-norm rule).
+    pytorch_utils.Conv1d/2d: bias dropped when a norm is present regardless
+    of `order` (the reference's bias=False-with-norm rule), and
+    'norm-act-conv' normalizes the INPUT channel count (conv.py:40-48).
     """
 
     features: int
@@ -90,36 +91,55 @@ class MLPBlock(nn.Module):
     act: bool = True
     norm_type: str = "bn"  # any create_norm key (nn/registry.py)
     act_type: str = "relu"  # any create_act key
+    order: str = "conv-norm-act"  # | 'norm-act-conv' | 'conv-act-norm'
     dtype: jnp.dtype = jnp.float32
+
+    def _norm(self, x, features, *, train, momentum):
+        if self.norm_type == "bn":
+            return BatchNorm(dtype=self.dtype, name="bn")(
+                x, train=train, momentum=momentum
+            )
+        from graspbalance_tpu.nn.registry import create_norm
+
+        return create_norm(self.norm_type, features, name="bn")(
+            x, train=train, momentum=momentum
+        )
+
+    def _act(self, x):
+        if self.act_type == "relu":
+            return nn.relu(x)
+        from graspbalance_tpu.nn.registry import create_act
+
+        return create_act(self.act_type)(x)
 
     @nn.compact
     def __call__(self, x, *, train: bool, bn_momentum=0.1):
-        x = nn.Dense(
+        if self.order not in ("conv-norm-act", "norm-act-conv", "conv-act-norm"):
+            raise NotImplementedError(f"{self.order} is not supported")
+        dense = nn.Dense(
             self.features,
             use_bias=not self.use_bn,
             dtype=self.dtype,
             param_dtype=jnp.float32,
             name="dense",
-        )(x)
-        if self.use_bn:
-            if self.norm_type == "bn":
-                x = BatchNorm(dtype=self.dtype, name="bn")(
-                    x, train=train, momentum=bn_momentum
-                )
-            else:
-                from graspbalance_tpu.nn.registry import create_norm
-
-                x = create_norm(self.norm_type, self.features, name="bn")(
-                    x, train=train, momentum=bn_momentum
-                )
-        if self.act:
-            if self.act_type == "relu":
-                x = nn.relu(x)
-            else:
-                from graspbalance_tpu.nn.registry import create_act
-
-                act = create_act(self.act_type)
-                x = act(x)
+        )
+        if self.order == "norm-act-conv":
+            if self.use_bn:
+                x = self._norm(x, x.shape[-1], train=train, momentum=bn_momentum)
+            if self.act:
+                x = self._act(x)
+            return dense(x)
+        x = dense(x)
+        if self.order == "conv-norm-act":
+            if self.use_bn:
+                x = self._norm(x, self.features, train=train, momentum=bn_momentum)
+            if self.act:
+                x = self._act(x)
+        else:  # conv-act-norm
+            if self.act:
+                x = self._act(x)
+            if self.use_bn:
+                x = self._norm(x, self.features, train=train, momentum=bn_momentum)
         return x
 
 

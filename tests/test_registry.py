@@ -121,6 +121,41 @@ def test_channel_map_matches_reference():
             assert CHANNEL_MAP[k](x) == ref[k](x), k
 
 
+@pytest.mark.parametrize("order", ["conv-norm-act", "norm-act-conv", "conv-act-norm"])
+def test_mlpblock_order_variants_match_torch(order, rng):
+    """create_convblock1d order semantics (ModifiedNetTools/conv.py:66-103):
+    norm-act-conv normalizes IN channels then convs (bias still dropped);
+    conv-act-norm swaps act before norm. LayerNorm keeps it stateless so the
+    comparison is pure order semantics."""
+    cin, cout = 8, 16
+    x = rng.normal(size=(2, 10, cin)).astype(np.float32)
+    blk = MLPBlock(cout, norm_type="ln1d", act_type="relu", order=order)
+    v = blk.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    got = np.asarray(blk.apply(v, jnp.asarray(x), train=False))
+
+    lin = torch.nn.Linear(cin, cout, bias=False)  # bias=False-with-norm rule
+    with torch.no_grad():
+        lin.weight.copy_(torch.from_numpy(np.asarray(v["params"]["dense"]["kernel"]).T))
+    norm_c = cin if order == "norm-act-conv" else cout
+    seq = {
+        "conv-norm-act": [lin, torch.nn.LayerNorm(norm_c), torch.nn.ReLU()],
+        "norm-act-conv": [torch.nn.LayerNorm(norm_c), torch.nn.ReLU(), lin],
+        "conv-act-norm": [lin, torch.nn.ReLU(), torch.nn.LayerNorm(norm_c)],
+    }[order]
+    want = torch.nn.Sequential(*seq)(torch.from_numpy(x)).detach().numpy()
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    # the norm's learned scale sits on the order-appropriate channel count
+    assert v["params"]["bn"]["ln"]["scale"].shape == (norm_c,)
+
+
+def test_mlpblock_unknown_order_raises(rng):
+    x = jnp.asarray(rng.normal(size=(1, 4, 8)).astype(np.float32))
+    with pytest.raises(NotImplementedError):
+        MLPBlock(16, order="act-conv-norm").init(
+            jax.random.PRNGKey(0), x, train=False
+        )
+
+
 def test_mlpblock_with_registry_norm_and_act(rng):
     x = jnp.asarray(rng.normal(size=(2, 10, 8)).astype(np.float32))
     blk = MLPBlock(16, norm_type="gn", act_type="gelu")
