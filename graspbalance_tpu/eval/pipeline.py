@@ -96,3 +96,38 @@ def to_grasp_group_array(grasps: np.ndarray, keep: np.ndarray) -> np.ndarray:
     column order [score, width, height, depth, rotation(9), translation(3),
     object_id] — feed to GraspGroup(arr) or np.save for eval."""
     return grasps[keep].astype(np.float32)
+
+
+def dump_dataset(
+    infer: GraspInference,
+    ds,
+    dump_dir: str,
+    camera: str,
+    batch_size: int = 4,
+    max_frames: int = 0,
+    log=print,
+) -> int:
+    """Run inference over a GraspNetDataset (load_label=False) and write the
+    per-frame (G, 17) npy files in graspnetAPI's GraspNetEval layout
+    (dump_dir/scene_xxxx/<camera>/xxxx.npy). Returns frames written."""
+    import os
+
+    from graspbalance_tpu.data.dataset import collate
+
+    os.makedirs(dump_dir, exist_ok=True)
+    n = len(ds) if not max_frames else min(len(ds), max_frames)
+    for i in range(0, n, batch_size):
+        items = [ds[j] for j in range(i, min(i + batch_size, n))]
+        batch = collate(items)
+        grasps, keep = infer(jnp.asarray(batch["point_clouds"]))
+        for j, item_idx in enumerate(range(i, min(i + batch_size, n))):
+            scene, frame = ds.samples[item_idx]
+            out_dir = os.path.join(dump_dir, scene, camera)
+            os.makedirs(out_dir, exist_ok=True)
+            np.save(
+                os.path.join(out_dir, f"{frame:04d}.npy"),
+                to_grasp_group_array(grasps[j], keep[j]),
+            )
+        if (i // batch_size) % 10 == 0:
+            log(f"{i + len(items)}/{n}")
+    return n

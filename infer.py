@@ -9,7 +9,6 @@ synthetic smoke scene.
 """
 
 import argparse
-import os
 
 import numpy as np
 
@@ -38,7 +37,7 @@ def main():
 
     from graspbalance_tpu.train.config import Config, DataConfig
     from graspbalance_tpu.train.train_step import build_model
-    from graspbalance_tpu.eval.pipeline import GraspInference, to_grasp_group_array
+    from graspbalance_tpu.eval.pipeline import GraspInference
 
     cfg = Config(data=DataConfig(num_points=args.num_point))
     if args.checkpoint_dir:
@@ -79,28 +78,17 @@ def main():
         print(f"synthetic smoke: {keep.sum()} grasps kept of {keep.size}")
         return
 
-    from graspbalance_tpu.data.dataset import GraspNetDataset, collate
+    from graspbalance_tpu.data.dataset import GraspNetDataset
+    from graspbalance_tpu.eval.pipeline import dump_dataset
 
     ds = GraspNetDataset(
         args.dataset_root, [], {}, camera=args.camera, split=args.split,
         num_points=args.num_point, load_label=False,
     )
-    os.makedirs(args.dump_dir, exist_ok=True)
-    n = len(ds) if not args.max_scenes else min(len(ds), args.max_scenes * 256)
-    for i in range(0, n, args.batch_size):
-        items = [ds[j] for j in range(i, min(i + args.batch_size, n))]
-        batch = collate(items)
-        grasps, keep = infer(jnp.asarray(batch["point_clouds"]))
-        for j, item_idx in enumerate(range(i, min(i + args.batch_size, n))):
-            scene, frame = ds.samples[item_idx]
-            out_dir = os.path.join(args.dump_dir, scene, args.camera)
-            os.makedirs(out_dir, exist_ok=True)
-            np.save(
-                os.path.join(out_dir, f"{frame:04d}.npy"),
-                to_grasp_group_array(grasps[j], keep[j]),
-            )
-        if (i // args.batch_size) % 10 == 0:
-            print(f"{i + len(items)}/{n}")
+    dump_dataset(
+        infer, ds, args.dump_dir, args.camera, batch_size=args.batch_size,
+        max_frames=args.max_scenes * 256 if args.max_scenes else 0,
+    )
     print(
         "done. evaluate with graspnetAPI:\n"
         "  from graspnetAPI import GraspNetEval\n"

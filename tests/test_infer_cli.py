@@ -84,6 +84,77 @@ def test_cli_checkpoint_restore_paths(tmp_path, monkeypatch, capsys):
     assert "restored checkpoint step 1" in out
 
 
+def test_eval_ap_cli_end_to_end(tmp_path, monkeypatch, capsys):
+    """eval_ap.py: checkpoint -> scene dump -> graspnetAPI call, with the
+    (absent) package stubbed so the invocation path itself is exercised."""
+    import sys
+    import types
+
+    import eval_ap
+    from graspbalance_tpu.train.checkpoints import CheckpointManager
+    from tests.test_train import tiny_setup
+
+    root = str(tmp_path / "gn")
+    fabricate_dataset(root)
+    cfg, model, state, batch = tiny_setup(2, tmp_path)
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save_config(cfg)
+    mgr.save(1, state)
+    mgr.close()
+
+    calls = {}
+
+    class FakeEval:
+        def __init__(self, root, camera, split):
+            calls["init"] = (root, camera, split)
+
+        def eval_all(self, dump_dir, proc):
+            calls["eval"] = (dump_dir, proc)
+            return np.zeros((1, 2, 6)), 0.125
+
+    monkeypatch.setitem(
+        sys.modules, "graspnetAPI", types.SimpleNamespace(GraspNetEval=FakeEval)
+    )
+    dump = str(tmp_path / "dump")
+    eval_ap.main([
+        "--dataset_root", root, "--checkpoint_dir", str(tmp_path / "ckpt"),
+        "--split", "all", "--num_point", "256", "--batch_size", "2",
+        "--dump_dir", dump, "--proc", "2",
+    ])
+    out = capsys.readouterr().out
+    assert "restored checkpoint step" in out  # state.step is 0: untrained
+    assert '"AP": 0.125' in out
+    assert calls["init"] == (root, "realsense", "all")
+    assert calls["eval"] == (dump, 2)
+    assert os.path.exists(os.path.join(dump, "scene_0000", "realsense", "0000.npy"))
+    assert os.path.exists(os.path.join(dump, "ap_result.json"))
+
+    # --skip_dump path re-evaluates the existing dump without a model
+    eval_ap.main([
+        "--dataset_root", root, "--split", "all", "--dump_dir", dump,
+        "--skip_dump", "--proc", "2",
+    ])
+    assert '"AP": 0.125' in capsys.readouterr().out
+
+    # without graspnetAPI: prints offline instructions instead of failing
+    monkeypatch.delitem(sys.modules, "graspnetAPI")
+    import builtins
+
+    real_import = builtins.__import__
+
+    def no_gnapi(name, *a, **k):
+        if name == "graspnetAPI":
+            raise ImportError(name)
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_gnapi)
+    eval_ap.main([
+        "--dataset_root", root, "--split", "all", "--dump_dir", dump,
+        "--skip_dump",
+    ])
+    assert "graspnetAPI not installed" in capsys.readouterr().out
+
+
 def test_config_json_roundtrip(tmp_path):
     import json
 

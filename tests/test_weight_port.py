@@ -39,9 +39,11 @@ def converted(ref_model):
         cylinder_radius=0.08, hmin=-0.02, hmax_list=[0.01, 0.02, 0.03, 0.04],
     )
     # randomize every parameter and BN buffer so parity is non-trivial
+    # (std 0.1: at 0.5 the assembled forward's deep MLP stacks amplify
+    # activations past f32 range and the decoded score overflows to -inf)
     with torch.no_grad():
         for p in net.parameters():
-            p.normal_(0.0, 0.5)
+            p.normal_(0.0, 0.1)
         for name, b in net.named_buffers():
             if name.endswith("running_mean"):
                 b.normal_(0.0, 0.5)
@@ -78,6 +80,39 @@ def test_tree_structure_matches_model(converted):
             f"{col}: extra={sorted(set(got_paths) - set(want_paths))[:5]} "
             f"missing={sorted(set(want_paths) - set(got_paths))[:5]}"
         )
+
+
+def test_ported_weights_drive_assembled_forward(converted, rng):
+    """Chain the full converted tree through the ASSEMBLED GraspBalance
+    forward + pred_decode (per-head parity alone would miss wiring bugs
+    between heads): production architecture, reduced cloud size."""
+    from graspbalance_tpu.models.decode import pred_decode
+    from graspbalance_tpu.train.config import Config, DataConfig
+    from graspbalance_tpu.train.train_step import build_model
+
+    _, variables = converted
+    model = build_model(Config(data=DataConfig(num_points=2560)))
+    cloud = jnp.asarray(
+        (rng.random((1, 2560, 3)) - 0.5).astype(np.float32)
+    )
+    ep = model.apply(variables, {"point_clouds": cloud}, train=False)
+    # every endpoint the loss/decoder consumes exists, correctly shaped
+    ns = ep["fp2_xyz"].shape[1]
+    assert ep["objectness_score"].shape == (1, ns, 2)
+    assert ep["view_score"].shape == (1, ns, 300)
+    assert ep["grasp_score_pred"].shape == (1, ns, 12, 4)
+    assert ep["grasp_tolerance_pred"].shape == (1, ns, 12, 4)
+    for k, v in ep.items():
+        arr = np.asarray(v)
+        if arr.dtype.kind == "f":  # index/bool endpoints have no inf notion
+            assert np.all(np.isfinite(arr)), k
+    grasps, valid = pred_decode(ep)
+    assert grasps.shape == (1, ns, 17)
+    assert valid.dtype == jnp.bool_
+    # invalid rows carry a -inf score sentinel; everything valid is finite
+    g, v = np.asarray(grasps), np.asarray(valid)
+    assert np.all(np.isfinite(g[v]))
+    assert np.all(np.isfinite(g[..., 1:]))  # geometry columns always finite
 
 
 def test_graspable_head_forward_parity(converted, rng):
