@@ -146,10 +146,18 @@ def load_reference_model():
         ed.EasyDict = EasyDict
         sys.modules["easydict"] = ed
     if "sklearn" not in sys.modules:
+        import importlib.machinery
+
         sk = types.ModuleType("sklearn")
         dec = types.ModuleType("sklearn.decomposition")
         dec.FactorAnalysis = object  # imported, never used (norm.py:1)
         sk.decomposition = dec
+        # torch dynamo's trace_rules probes find_spec("sklearn"), which
+        # raises ValueError on a spec-less module; give the stubs real specs
+        sk.__spec__ = importlib.machinery.ModuleSpec("sklearn", None)
+        dec.__spec__ = importlib.machinery.ModuleSpec(
+            "sklearn.decomposition", None
+        )
         sys.modules["sklearn"] = sk
         sys.modules["sklearn.decomposition"] = dec
 
