@@ -121,6 +121,33 @@ def _select(hit: jnp.ndarray, d2: jnp.ndarray, nsample: int, order: str) -> jnp.
     raise ValueError(f"unknown query order: {order}")
 
 
+def _check_ascending(radii, hmaxs):
+    if len(radii) > 7 or len(hmaxs) > 7:
+        raise ValueError("class encoding supports at most 7 radii/hmaxs")
+    # the rank-count decode (rc <= ri, hc <= hi) is only equivalent to the
+    # per-combo masks when thresholds are ascending; reject silent misuse
+    if list(radii) != sorted(radii) or list(hmaxs) != sorted(hmaxs):
+        raise ValueError(
+            "multi_cylinder_query order='index' requires ascending radii and "
+            f"hmaxs (got radii={radii}, hmaxs={hmaxs}); sort them and remap "
+            "the output combo axes, or use order='nearest'"
+        )
+
+
+def _class_plane(xr, d2, radii, hmin, hmaxs):
+    """(C, N) f32 class plane: rc*8 + hc, 63 = never-hit (see _multi_first_k).
+
+    hit(r_i, h_j) == (class//8 <= i) & (class%8 <= j) — every comparison
+    against the original thresholds is preserved exactly."""
+    rc = jnp.zeros_like(d2)
+    for radius in radii:
+        rc = rc + (d2 >= radius * radius).astype(jnp.float32)
+    hc = jnp.zeros_like(xr)
+    for hmax in hmaxs:
+        hc = hc + (xr >= hmax).astype(jnp.float32)
+    return jnp.where(xr > hmin, rc * 8.0 + hc, 63.0)
+
+
 def _multi_first_k(xr, d2, radii, hmin, hmaxs, nsample, tile: int = 128):
     """First-k-by-index for all len(radii) x len(hmaxs) cylinder combos.
 
@@ -140,26 +167,11 @@ def _multi_first_k(xr, d2, radii, hmin, hmaxs, nsample, tile: int = 128):
     values <= 63 are exact in bf16; the one-hot extraction matmul picks
     exactly one element per row, so reconstruction is exact).
     """
-    if len(radii) > 7 or len(hmaxs) > 7:
-        raise ValueError("class encoding supports at most 7 radii/hmaxs")
-    # the rank-count decode (rc <= ri, hc <= hi) is only equivalent to the
-    # per-combo masks when thresholds are ascending; reject silent misuse
-    if list(radii) != sorted(radii) or list(hmaxs) != sorted(hmaxs):
-        raise ValueError(
-            "multi_cylinder_query order='index' requires ascending radii and "
-            f"hmaxs (got radii={radii}, hmaxs={hmaxs}); sort them and remap "
-            "the output combo axes, or use order='nearest'"
-        )
+    _check_ascending(radii, hmaxs)
     c, n = d2.shape
     t = _round_up(n, tile) // tile
     pad = t * tile - n
-    rc = jnp.zeros_like(d2)
-    for radius in radii:
-        rc = rc + (d2 >= radius * radius).astype(jnp.float32)
-    hc = jnp.zeros_like(xr)
-    for hmax in hmaxs:
-        hc = hc + (xr >= hmax).astype(jnp.float32)
-    cls = jnp.where(xr > hmin, rc * 8.0 + hc, 63.0)
+    cls = _class_plane(xr, d2, radii, hmin, hmaxs)
     cls = jnp.pad(cls, ((0, 0), (0, pad)), constant_values=63.0)
     cls_t = cls.reshape(c, t, tile).astype(jnp.bfloat16)
     # NOTE (v5e, 2026-08): batching all 16 combos' slot-tile extractions
@@ -346,7 +358,10 @@ def cylinder_query(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("radii", "hmaxs", "nsample", "order", "chunk", "tile"),
+    static_argnames=(
+        "radii", "hmaxs", "nsample", "order", "chunk", "tile", "impl",
+        "interpret",
+    ),
 )
 def multi_cylinder_query(
     xyz: jnp.ndarray,
@@ -360,6 +375,8 @@ def multi_cylinder_query(
     order: str = "index",
     chunk: int = 256,
     tile: int = 128,
+    impl: str = "auto",
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """All (radius, hmax) cylinder queries in one pass over the cloud.
 
@@ -369,10 +386,24 @@ def multi_cylinder_query(
     the rotation/distance work is done once per center chunk and reused for
     all 16 masks.
 
+    impl: 'auto' (= 'xla') | 'xla' | 'pallas_select'. Both index paths are
+    bit-exact; the selection-only Pallas kernel measured ~4x SLOWER than the
+    fused XLA path on v5e (91.8 vs 21.2 ms e2e at bench shapes, 2026-08-17:
+    materializing the (B, M, N) class plane to HBM costs more than XLA's
+    fused chunked recompute — see docs/NOTES.md), so it stays flag-gated
+    for study, never the default.
+
     Returns: (B, len(radii), len(hmaxs), M, nsample) int32.
     """
 
     n_r, n_h = len(radii), len(hmaxs)
+    if impl == "auto":
+        impl = "xla"
+    if impl == "pallas_select" and order == "index":
+        return _multi_cylinder_query_pallas(
+            xyz, centers, rot, radii, hmin, hmaxs, nsample, chunk=chunk,
+            interpret=interpret,
+        )
 
     def per_batch(pts, ctr, rr):
         def per_chunk(args):
@@ -399,6 +430,42 @@ def multi_cylinder_query(
         return out
 
     return jax.vmap(per_batch)(xyz, centers, rot)
+
+
+def _multi_cylinder_query_pallas(
+    xyz, centers, rot, radii, hmin, hmaxs, nsample, *, chunk: int = 256,
+    interpret: bool = False,
+):
+    """index-order multi-cylinder query via the selection-only Pallas kernel
+    (ops/pallas/select_kernel.py): XLA computes the rotated coordinates and
+    the shared bf16 class plane (chunked, MXU einsums); the kernel runs the
+    16 combos' rank-position selection VMEM-resident. Bit-exact vs the XLA
+    path (tests/test_multicyl_kernel.py)."""
+    from graspbalance_tpu.ops.pallas.select_kernel import multicyl_select
+
+    _check_ascending(radii, hmaxs)
+    b, m, _ = centers.shape
+    n = xyz.shape[1]
+
+    def per_batch(pts, ctr, rr):
+        def per_chunk(args):
+            c, rc = args
+            delta = c[:, None, :] - pts[None, :, :]
+            xr = -jnp.einsum("cnk,ck->cn", delta, rc[:, :, 0])
+            yr = -jnp.einsum("cnk,ck->cn", delta, rc[:, :, 1])
+            zr = -jnp.einsum("cnk,ck->cn", delta, rc[:, :, 2])
+            d2 = yr * yr + zr * zr
+            return _class_plane(xr, d2, radii, hmin, hmaxs).astype(jnp.bfloat16)
+
+        return _chunked_centers(per_chunk, (ctr, rr), chunk)
+
+    cls = jax.vmap(per_batch)(xyz, centers, rot)  # (B, M, N) bf16
+    out = multicyl_select(
+        cls.reshape(b * m, n), len(radii), len(hmaxs), nsample,
+        interpret=interpret,
+    )  # (B*M, RH, k)
+    out = out.reshape(b, m, len(radii), len(hmaxs), nsample)
+    return jnp.transpose(out, (0, 2, 3, 1, 4))
 
 
 def _chunked_centers_leading(fn, centers_like, chunk, n_r, n_h, nsample):

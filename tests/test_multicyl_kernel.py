@@ -44,6 +44,64 @@ def test_idx_matches_xla_query(rng, nsample):
     np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref))
 
 
+@pytest.mark.parametrize("nsample", [16, 64])
+def test_select_kernel_matches_xla_query(rng, nsample):
+    """Selection-only Pallas kernel (ops/pallas/select_kernel.py): the TPU
+    default impl must be bit-exact vs the XLA index path."""
+    cloud, centers, rot = _case(rng)
+    ref = ops.multi_cylinder_query(
+        cloud, centers, rot, RADII, HMIN, HMAXS, nsample,
+        order="index", impl="xla",
+    )
+    got = ops.multi_cylinder_query(
+        cloud, centers, rot, RADII, HMIN, HMAXS, nsample,
+        order="index", impl="pallas_select", interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_select_kernel_empty_and_padding(rng):
+    """Reference padding rule through the kernel: zero-hit centers stay 0;
+    partially-filled neighborhoods repeat the first hit."""
+    cloud = jnp.asarray((rng.random((1, 300, 3)) - 0.5).astype(np.float32))
+    centers = jnp.concatenate(
+        [jnp.full((1, 4, 3), 50.0, jnp.float32), cloud[:, :4]], axis=1
+    )
+    rot = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (1, 8, 3, 3))
+    ref = ops.multi_cylinder_query(
+        cloud, centers, rot, RADII, HMIN, HMAXS, 16,
+        order="index", impl="xla",
+    )
+    got = ops.multi_cylinder_query(
+        cloud, centers, rot, RADII, HMIN, HMAXS, 16,
+        order="index", impl="pallas_select", interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    assert np.all(np.asarray(got)[:, :, :, :4] == 0)  # far centers: no hits
+
+
+def test_select_kernel_row_padding_invariance(rng):
+    """Row counts not divisible by rows_per_step (kernel pads internally)."""
+    from graspbalance_tpu.ops.pallas.select_kernel import multicyl_select
+
+    cls = rng.integers(0, 64, size=(13, 300)).astype(np.float32)
+    cls_j = jnp.asarray(cls, jnp.bfloat16)
+    got = multicyl_select(cls_j, 4, 4, 16, interpret=True)
+    # reference: XLA selection from the same class plane
+    from graspbalance_tpu.ops.query import _first_k_from_class, _round_up
+
+    t = _round_up(300, 128) // 128
+    cls_pad = jnp.pad(cls_j, ((0, 0), (0, t * 128 - 300)),
+                      constant_values=jnp.bfloat16(63.0)).reshape(13, t, 128)
+    for ri in range(4):
+        for hi in range(4):
+            want = _first_k_from_class(cls_pad, ri, hi, 16)
+            np.testing.assert_array_equal(
+                np.asarray(got[:, ri * 4 + hi]), np.asarray(want),
+                err_msg=f"combo {ri},{hi}",
+            )
+
+
 def test_rel_matches_gather_rotate(rng):
     cloud, centers, rot = _case(rng, b=1, n=600, m=24)
     nsample = 32
