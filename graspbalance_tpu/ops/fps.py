@@ -84,9 +84,12 @@ def furthest_point_sample(
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
-        from graspbalance_tpu.ops.pallas.fps_kernel import fps_pallas_2d
+        # batched-interleaved variant: all batch rows' select chains in one
+        # grid step, hiding cross-lane reduction latency (6.18 vs 7.56 ms
+        # at (4, 20000)->2048 on v5e, bit-exact; tools/bench_fps_kernel.py)
+        from graspbalance_tpu.ops.pallas.fps_kernel import fps_pallas_2d_batched
 
-        return fps_pallas_2d(
+        return fps_pallas_2d_batched(
             xyz.astype(jnp.float32), num_samples, skip_origin=skip_origin
         )
     fn = functools.partial(

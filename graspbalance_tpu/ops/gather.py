@@ -11,6 +11,7 @@ so the feature axis sits on TPU lanes; the reference is channels-first.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -22,7 +23,9 @@ def _flat_take(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     measured 2026-08); results are identical.
     """
     b, n, c = points.shape
-    flat = points.reshape(b * n, c)
+    # host callers (e.g. un-jitted model.init on a numpy batch) pass
+    # np.ndarray, whose .reshape result has no .at — coerce first
+    flat = jnp.asarray(points).reshape(b * n, c)
     offs = (jnp.arange(b, dtype=jnp.int32) * n).reshape((b,) + (1,) * (idx.ndim - 1))
     g = idx.astype(jnp.int32) + offs
     # indices come from our own query/sampling ops and are always in
@@ -31,6 +34,73 @@ def _flat_take(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return flat.at[g.reshape(-1)].get(mode="promise_in_bounds").reshape(
         idx.shape + (c,)
     )
+
+
+@jax.custom_vjp
+def _flat_take_sorted_vjp(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """_flat_take with a sort-based backward.
+
+    JAX's default VJP for the gather is an unsorted scatter-add, which XLA
+    serializes on TPU (~54 ms of the 146 ms bs=2 train step, profiled
+    2026-08, reference equivalent: atomicAdd backward in
+    pointnet2_batch/src/group_points_gpu.cu:86). Here the cotangent rows are
+    argsorted by destination row first, so the scatter-add sees
+    monotonically non-decreasing indices (indices_are_sorted=True) — the
+    sort + the big reorder-gather both run at full vector throughput, and
+    the sorted scatter avoids XLA's general serialized path."""
+    return _flat_take(points, idx)
+
+
+def _flat_take_sorted_fwd(points, idx):
+    # zero-byte exemplar carries (B, N) and dtype into bwd (residuals must
+    # be JAX types); the channel count comes from the cotangent itself
+    exemplar = jnp.zeros(points.shape[:2] + (0,), points.dtype)
+    return _flat_take(points, idx), (idx, exemplar)
+
+
+def _flat_take_sorted_bwd(res, ct):
+    idx, exemplar = res
+    b, n, _ = exemplar.shape
+    c = ct.shape[-1]
+    dtype = exemplar.dtype
+    offs = (jnp.arange(b, dtype=jnp.int32) * n).reshape(
+        (b,) + (1,) * (idx.ndim - 1)
+    )
+    g = (idx.astype(jnp.int32) + offs).reshape(-1)
+    ctf = ct.reshape(-1, c).astype(dtype)
+    order = jnp.argsort(g)
+    gs = jnp.take(g, order)
+    cts = jnp.take(ctf, order, axis=0)
+    grad = (
+        jnp.zeros((b * n, c), dtype)
+        .at[gs]
+        .add(cts, indices_are_sorted=True, mode="promise_in_bounds")
+        .reshape(b, n, c)
+    )
+    return grad, None
+
+
+_flat_take_sorted_vjp.defvjp(_flat_take_sorted_fwd, _flat_take_sorted_bwd)
+
+# backward implementation for gather_points/group_points: 'xla' (default
+# autodiff scatter-add) | 'sorted' (argsort + sorted scatter-add). Module
+# state rather than a per-call arg so model code stays oblivious; flip with
+# set_gather_vjp() before tracing (it is baked into the jaxpr).
+_GATHER_VJP = "xla"
+
+
+def set_gather_vjp(kind: str) -> None:
+    """Select the gather backward: 'xla' | 'sorted' (see _flat_take_sorted_vjp)."""
+    global _GATHER_VJP
+    if kind not in ("xla", "sorted"):
+        raise ValueError(f"unknown gather vjp: {kind}")
+    _GATHER_VJP = kind
+
+
+def _dispatch(points, idx):
+    if _GATHER_VJP == "sorted":
+        return _flat_take_sorted_vjp(points, idx)
+    return _flat_take(points, idx)
 
 
 def gather_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -43,7 +113,7 @@ def gather_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     validate externally (see tests/test_ops.py) if indices come from
     anywhere else.
     """
-    return _flat_take(points, idx)
+    return _dispatch(points, idx)
 
 
 def group_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -51,4 +121,4 @@ def group_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 
     Precondition: every index must be in [0, N) — see gather_points.
     """
-    return _flat_take(points, idx)
+    return _dispatch(points, idx)

@@ -125,6 +125,136 @@ def _fps_kernel_2d(xyz_ref, out_ref, *, num_samples: int, n_actual: int,
     out_ref[0] = carry[1]
 
 
+def _fps_kernel_2d_batched(xyz_ref, out_ref, *, num_samples: int,
+                           n_actual: int, skip_origin: bool, batch: int):
+    """All batch rows in ONE grid step. Three wins over _fps_kernel_2d
+    (measured path to the round-3 retune, docs/NOTES.md roadmap #2):
+
+    * the `batch` independent select chains are interleaved in one loop
+      body, hiding the cross-lane reduction latency bubbles;
+    * validity is folded into the distance buffer init (invalid = -1, and
+      min(-1, d) stays -1), removing the per-step `where(valid, ...)` pass;
+    * the selected point's coordinates are read back with a dynamic
+      sublane slice + one-hot lane pick (O(1)) instead of three full-plane
+      masked reductions, and the output index lands in a 1-vreg phase
+      buffer flushed every 128 steps instead of an m_pad-wide select.
+
+    Layout: xyz_ref (B, 3, n_rows, 128) with point n at (n // 128, n % 128);
+    out_ref (B, 1, m_pad)."""
+    n_rows, lanes = xyz_ref.shape[2], xyz_ref.shape[3]
+    m_pad = out_ref.shape[-1]
+    n_total = n_rows * lanes
+
+    row_ids = lax.broadcasted_iota(jnp.int32, (n_rows, lanes), 0)
+    col_ids = lax.broadcasted_iota(jnp.int32, (n_rows, lanes), 1)
+    iota2 = row_ids * lanes + col_ids
+    lane_iota = lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
+
+    planes = []
+    dists = []
+    for bi in range(batch):
+        x = xyz_ref[bi, 0]
+        y = xyz_ref[bi, 1]
+        z = xyz_ref[bi, 2]
+        planes.append((x, y, z))
+        valid = iota2 < n_actual
+        if skip_origin:
+            valid = jnp.logical_and(valid, (x * x + y * y + z * z) > _ORIGIN_EPS)
+        # -1 survives every min(dist, d) (d >= 0): validity needs no
+        # per-step mask pass
+        dists.append(jnp.where(valid, _INIT_DIST, -1.0).astype(jnp.float32))
+
+    def pick(bi, best):
+        """Coordinates of point `best` via sublane slice + one-hot lane."""
+        r = best // lanes
+        c = best - r * lanes
+        hot = lane_iota == c
+        out = []
+        for axis in range(3):
+            rowvec = xyz_ref[bi, axis, pl.ds(r, 1), :]  # (1, lanes)
+            out.append(jnp.sum(jnp.where(hot, rowvec, 0.0)))
+        return out
+
+    def body(jj, carry):
+        new = []
+        for bi in range(batch):
+            dist, buf, lx, ly, lz = carry[bi]
+            x, y, z = planes[bi]
+            dx = x - lx
+            dy = y - ly
+            dz = z - lz
+            d = dx * dx + dy * dy + dz * dz
+            dist = jnp.minimum(dist, d)
+            mx = jnp.max(dist)
+            best = jnp.min(jnp.where(dist == mx, iota2, n_total)).astype(jnp.int32)
+            buf = jnp.where(lane_iota == jj, best, buf)
+            nlx, nly, nlz = pick(bi, best)
+            new.append((dist, buf, nlx, nly, nlz))
+        return tuple(new)
+
+    carry = tuple(
+        (
+            dists[bi],
+            jnp.zeros((1, lanes), jnp.int32),
+            planes[bi][0][0, 0],
+            planes[bi][1][0, 0],
+            planes[bi][2][0, 0],
+        )
+        for bi in range(batch)
+    )
+    for phase in range(m_pad // lanes):
+        # phase 0 starts at 1: slot 0 keeps the seed index 0 (idx[0]=0)
+        carry = lax.fori_loop(1 if phase == 0 else 0, lanes, body, carry)
+        new = []
+        for bi in range(batch):
+            dist, buf, lx, ly, lz = carry[bi]
+            out_ref[bi, :, phase * lanes : (phase + 1) * lanes] = buf
+            new.append((dist, jnp.zeros((1, lanes), jnp.int32), lx, ly, lz))
+        carry = tuple(new)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_samples", "skip_origin", "interpret")
+)
+def fps_pallas_2d_batched(
+    xyz: jnp.ndarray, num_samples: int, *, skip_origin: bool = True,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(B, N, 3) -> (B, num_samples) int32; batched-interleaved 2D kernel."""
+    b, n, _ = xyz.shape
+    n_pad = _round_up(n, _LANES)
+    n_rows = n_pad // _LANES
+    xyz_t = jnp.transpose(xyz, (0, 2, 1))  # (B, 3, N)
+    if n_pad != n:
+        xyz_t = jnp.pad(xyz_t, ((0, 0), (0, 0), (0, n_pad - n)))
+    xyz_t = xyz_t.reshape(b, 3, n_rows, _LANES)
+    m_pad = _round_up(num_samples, _LANES)
+    kernel = functools.partial(
+        _fps_kernel_2d_batched,
+        num_samples=num_samples,
+        n_actual=n,
+        skip_origin=skip_origin,
+        batch=b,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(
+                (b, 3, n_rows, _LANES),
+                lambda i: (0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (b, 1, m_pad), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, 1, m_pad), jnp.int32),
+        interpret=interpret,
+    )(xyz_t)
+    return out[:, 0, :num_samples]
+
+
 @functools.partial(
     jax.jit, static_argnames=("num_samples", "skip_origin", "rows", "interpret")
 )

@@ -190,6 +190,47 @@ class TestGatherInterp:
         want[0, 2] = 1.0
         np.testing.assert_allclose(np.asarray(grad), want)
 
+    def test_gather_accepts_numpy_hosts(self, rng):
+        """Un-jitted host callers (model.init on a numpy batch) pass
+        np.ndarray; the flat-take path must coerce (train.py smoke
+        regression, 2026-08-17)."""
+        pts = rng.random((2, 10, 3)).astype(np.float32)
+        idx = rng.integers(0, 10, (2, 4)).astype(np.int32)
+        got = ops.gather_points(pts, idx)  # numpy in, must not raise
+        want = np.take_along_axis(pts, idx[..., None].repeat(3, -1), axis=1)
+        np.testing.assert_array_equal(np.asarray(got), want)
+
+    def test_sorted_vjp_matches_xla(self, rng):
+        """gather/group backward with the sort-based scatter-add (ops/gather
+        set_gather_vjp('sorted')) equals the default XLA VJP. Integer-valued
+        cotangents make the duplicate-index sums order-independent, so the
+        comparison is exact."""
+        from graspbalance_tpu.ops import gather as gmod
+
+        pts = jnp.asarray(
+            rng.integers(-8, 8, (2, 30, 5)).astype(np.float32)
+        )
+        gidx = jnp.asarray(rng.integers(0, 30, (2, 7, 4)).astype(np.int32))
+        midx = jnp.asarray(rng.integers(0, 30, (2, 9)).astype(np.int32))
+        ct_g = jnp.asarray(rng.integers(-4, 5, (2, 7, 4, 5)).astype(np.float32))
+        ct_m = jnp.asarray(rng.integers(-4, 5, (2, 9, 5)).astype(np.float32))
+
+        def loss(p):
+            return jnp.sum(ops.group_points(p, gidx) * ct_g) + jnp.sum(
+                ops.gather_points(p, midx) * ct_m
+            )
+
+        want_primal = loss(pts)
+        want = jax.grad(loss)(pts)
+        gmod.set_gather_vjp("sorted")
+        try:
+            got_primal = loss(pts)
+            got = jax.grad(loss)(pts)
+        finally:
+            gmod.set_gather_vjp("xla")
+        np.testing.assert_array_equal(np.asarray(got_primal), np.asarray(want_primal))
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
 
 class TestPallasInterpret:
     """Pallas kernels in interpreter mode (CPU) vs the oracle."""
@@ -210,4 +251,27 @@ class TestPallasInterpret:
         got = np.asarray(fps_pallas_2d(jnp.asarray(pts), 40, interpret=True))
         for b in range(2):
             want = oracles.fps_oracle(pts[b], 40)
+            np.testing.assert_array_equal(got[b], want)
+
+    def test_fps_pallas_2d_batched_interpret(self, rng):
+        from graspbalance_tpu.ops.pallas.fps_kernel import fps_pallas_2d_batched
+
+        pts = random_cloud(rng, 3, 300, pad_origin=20)
+        got = np.asarray(
+            fps_pallas_2d_batched(jnp.asarray(pts), 40, interpret=True)
+        )
+        for b in range(3):
+            want = oracles.fps_oracle(pts[b], 40)
+            np.testing.assert_array_equal(got[b], want)
+
+    def test_fps_pallas_2d_batched_multiphase(self, rng):
+        # num_samples > 128 exercises the phase-buffer flush path
+        from graspbalance_tpu.ops.pallas.fps_kernel import fps_pallas_2d_batched
+
+        pts = random_cloud(rng, 2, 400)
+        got = np.asarray(
+            fps_pallas_2d_batched(jnp.asarray(pts), 200, interpret=True)
+        )
+        for b in range(2):
+            want = oracles.fps_oracle(pts[b], 200)
             np.testing.assert_array_equal(got[b], want)
