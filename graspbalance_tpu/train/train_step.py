@@ -100,7 +100,13 @@ def make_optimizer(cfg: Config, steps_per_epoch: int) -> optax.GradientTransform
 def create_train_state(cfg: Config, steps_per_epoch: int, sample_batch: dict, rng=None) -> tuple[GraspBalance, TrainState]:
     model = build_model(cfg)
     rng = rng if rng is not None else jax.random.PRNGKey(cfg.train.seed)
-    variables = model.init(rng, sample_batch, train=True)
+    # jit the init: eager dispatch pays the ~29 ms tunnel RTT per op on the
+    # remote TPU (minutes for the full model); params are batch-size
+    # independent, so trace a bs-1 slice
+    sample1 = {k: jnp.asarray(v[:1]) for k, v in sample_batch.items()}
+    variables = jax.jit(
+        lambda r, b: model.init(r, b, train=True)
+    )(rng, sample1)
     tx = make_optimizer(cfg, steps_per_epoch)
     params = variables["params"]
     state = TrainState(

@@ -76,7 +76,7 @@ def main():
     from graspbalance_tpu.train.train_step import build_model
 
     rng = np.random.default_rng(0)
-    bs = 4
+    bs = int(os.environ.get("GB_BS", "4"))  # batch-scaling diagnosis knob
     cloud = jnp.asarray(
         make_batch(0, bs, SceneConfig(num_points=20000))["point_clouds"]
     )
