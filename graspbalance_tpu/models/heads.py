@@ -86,6 +86,12 @@ class MultiScaleWidthGrouping(nn.Module):
     mlp: Sequence[int] = (64, 128, 256)
     query_order: str = "index"
     impl: str = "auto"  # 'fused_pallas' | 'xla' | 'auto'
+    # scale-MLP executor: 'auto' (fused Pallas tail on TPU eval, XLA
+    # elsewhere) | 'xla' | 'fused'. The fused path folds eval-mode BN into
+    # the dense weights and runs layers 1..n + max-over-K VMEM-resident
+    # (ops/pallas/widthmlp_kernel.py); training always uses XLA (batch
+    # stats). Numerics: identical algebra, fp reassociation only.
+    mlp_impl: str = "auto"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -139,6 +145,21 @@ class MultiScaleWidthGrouping(nn.Module):
             rel = grouped - seed_xyz[:, None, None, :, None, :]
             rel = jnp.einsum("brhskj,bsji->brhski", rel, vp_rot)
 
+        mlp_impl = self.mlp_impl
+        if mlp_impl == "auto":
+            mlp_impl = (
+                "fused"
+                if (
+                    not train
+                    and not self.is_initializing()
+                    and jax.default_backend() == "tpu"
+                    and self.dtype == jnp.float32
+                )
+                else "xla"
+            )
+        if mlp_impl == "fused" and not train and not self.is_initializing():
+            return self._fused_mlp_tail(rel, n_r)
+
         feats = []
         for ri in range(n_r):
             f = SharedMLP(self.mlp, dtype=self.dtype, name=f"mlp_scale{ri}")(
@@ -147,6 +168,34 @@ class MultiScaleWidthGrouping(nn.Module):
             feats.append(jnp.max(f, axis=3))  # (B, H, Ns, C)
         out = jnp.concatenate(feats, axis=-1)  # (B, H, Ns, 4C)
         return jnp.transpose(out, (0, 2, 1, 3))  # (B, Ns, D, 4C)
+
+    def _fused_mlp_tail(self, rel, n_r, *, interpret=None):
+        """Eval-only scale MLPs via the fused Pallas tail.
+
+        Reads the SAME param/batch_stats subtrees the standard path
+        creates (mlp_scale{ri}/layer{li}/{dense,bn}) and folds eval-mode
+        BN (epsilon 1e-5, nn/layers.py BatchNorm default) into effective
+        dense weights: y = relu(x @ (W*a) + (beta - mean*a)),
+        a = gamma/sqrt(var+eps). The whole per-scale chain + max-over-K
+        runs VMEM-resident (ops/pallas/widthmlp_kernel.py)."""
+        from graspbalance_tpu.ops.pallas.widthmlp_kernel import width_mlp_fused
+
+        if interpret is None:  # explicit 'fused' off-TPU runs interpreted
+            interpret = jax.default_backend() != "tpu"
+        weights = []
+        for ri in range(n_r):
+            p = self.scope.get_variable("params", f"mlp_scale{ri}")
+            stats = self.scope.get_variable("batch_stats", f"mlp_scale{ri}")
+            layer_ws = []
+            for li in range(len(self.mlp)):
+                kern = p[f"layer{li}"]["dense"]["kernel"]
+                bn = p[f"layer{li}"]["bn"]
+                bs = stats[f"layer{li}"]["bn"]
+                a = bn["scale"] * jax.lax.rsqrt(bs["var"] + 1e-5)
+                layer_ws.append((kern * a[None, :], bn["bias"] - bs["mean"] * a))
+            weights.append(tuple(layer_ws))
+        out = width_mlp_fused(rel, tuple(weights), interpret=interpret)
+        return jnp.transpose(out, (0, 2, 1, 3))  # (B, Ns, D, R*C)
 
 
 class GraspParametersHead(nn.Module):
