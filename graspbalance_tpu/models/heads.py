@@ -143,7 +143,6 @@ class MultiScaleWidthGrouping(nn.Module):
             # relative, then rotate into the gripper frame (rotate_xyz=True,
             # pointnet2_utils.py:281-284): g' = R^T (p - c)
             rel = grouped - seed_xyz[:, None, None, :, None, :]
-            rel = jnp.einsum("brhskj,bsji->brhski", rel, vp_rot)
 
         mlp_impl = self.mlp_impl
         if mlp_impl == "auto":
@@ -157,7 +156,16 @@ class MultiScaleWidthGrouping(nn.Module):
                 )
                 else "xla"
             )
-        if mlp_impl == "fused" and not train and not self.is_initializing():
+        use_fused_tail = (
+            mlp_impl == "fused" and not train and not self.is_initializing()
+        )
+        if impl != "fused_pallas":
+            # NOTE (v5e, 2026-08-17): an elementwise-FMA rotation (to dodge
+            # the conv emitter's ~3 ms layout copy on this einsum) measured
+            # 60.05 vs 60.65 clouds/s e2e — the strided minor-dim-3 slices
+            # cost what the copy did. Einsum kept.
+            rel = jnp.einsum("brhskj,bsji->brhski", rel, vp_rot)
+        if use_fused_tail:
             return self._fused_mlp_tail(rel, n_r)
 
         feats = []

