@@ -64,6 +64,29 @@ class LocalAggregation(nn.Module):
         dp = ops.group_points(xyz, idx) - xyz[:, :, None, :]  # (B,N,K,3)
         fj = ops.group_points(feats, idx)  # (B,N,K,C)
         dp = dp.astype(fj.dtype)
+
+        from graspbalance_tpu.ops.pallas.mlpmax_kernel import (
+            fold_bn_layers,
+            fused_eval_ok,
+            mlp_max_fused,
+        )
+
+        if self.feature_type == "dp_fj" and fused_eval_ok(self, train, self.nsample):
+            # fused eval: conv+BN+ReLU+reduce VMEM-resident, dp|fj concat
+            # never materializes (per-part layer-0 split)
+            ((w0, b0),) = fold_bn_layers(
+                self.scope.get_variable("params", "conv"),
+                self.scope.get_variable("batch_stats", "conv"),
+                1,
+            )
+            return mlp_max_fused(
+                (dp, fj),
+                (((w0[:3], w0[3:]), b0),),
+                reduction="max" if self.reduction == "max" else (
+                    "mean" if self.reduction in ("mean", "avg") else "sum"
+                ),
+            )
+
         if self.feature_type == "dp_fj":
             grouped = jnp.concatenate([dp, fj], axis=-1)
         elif self.feature_type == "dp_fj_df":

@@ -65,6 +65,36 @@ class SetAbstraction(nn.Module):
         # (fusing the xyz+feats gathers into one concatenated-width gather
         # was measured slower on v5e — unaligned rows; keep them split)
         grouped_xyz = ops.group_points(xyz, idx) - new_xyz[:, :, None, :]
+
+        from graspbalance_tpu.ops.pallas.mlpmax_kernel import (
+            fold_bn_layers,
+            fused_eval_ok,
+            mlp_max_fused,
+        )
+
+        if fused_eval_ok(self, train, self.nsample):
+            # fused eval: BN-folded MLP chain + max VMEM-resident; the
+            # xyz|feats concat never materializes (per-part layer-0 split)
+            # and normalize_xyz folds into the xyz slice of W0
+            wts = fold_bn_layers(
+                self.scope.get_variable("params", "mlp"),
+                self.scope.get_variable("batch_stats", "mlp"),
+                len(self.mlp),
+            )
+            (w0, b0), rest = wts[0], wts[1:]
+            scale = 1.0 / self.radius if self.normalize_xyz else 1.0
+            if features is not None and self.use_xyz:
+                parts = (grouped_xyz, ops.group_points(features, idx))
+                w0_parts = (w0[:3] * scale, w0[3:])
+            elif features is not None:
+                parts = (ops.group_points(features, idx),)
+                w0_parts = (w0,)
+            else:
+                parts = (grouped_xyz,)
+                w0_parts = (w0 * scale,)
+            new_feats = mlp_max_fused(parts, ((w0_parts, b0), *rest))
+            return new_xyz, new_feats, inds
+
         if self.normalize_xyz:
             grouped_xyz = grouped_xyz / self.radius
         if features is not None:
