@@ -137,12 +137,6 @@ class MultiScaleWidthGrouping(nn.Module):
                 order=self.query_order,
             )  # (B, R, H, Ns, K)
             b, n_r, n_h, ns, k = idx.shape
-            grouped = ops.group_points(
-                cloud_xyz, idx.reshape(b, n_r * n_h * ns, k)
-            ).reshape(b, n_r, n_h, ns, k, 3)
-            # relative, then rotate into the gripper frame (rotate_xyz=True,
-            # pointnet2_utils.py:281-284): g' = R^T (p - c)
-            rel = grouped - seed_xyz[:, None, None, :, None, :]
 
         mlp_impl = self.mlp_impl
         if mlp_impl == "auto":
@@ -159,7 +153,26 @@ class MultiScaleWidthGrouping(nn.Module):
         use_fused_tail = (
             mlp_impl == "fused" and not train and not self.is_initializing()
         )
+
+        if impl != "fused_pallas" and use_fused_tail:
+            # seed-major gather, NO rotation pass: the per-seed rotation
+            # folds into the kernel's layer-0 weights (rel@W0 == d@(R@W0)),
+            # so neither the rotated 50 MB rel tensor nor the conv
+            # emitter's ~3 ms layout copy on it is ever built
+            idx_t = jnp.transpose(idx, (0, 3, 1, 2, 4))  # (B, S, R, H, K)
+            grouped = ops.group_points(
+                cloud_xyz, idx_t.reshape(b, ns * n_r * n_h, k)
+            ).reshape(b, ns, n_r, n_h, k, 3)
+            d = grouped - seed_xyz[:, :, None, None, None, :]
+            return self._fused_mlp_rot(d, vp_rot, n_r)
+
         if impl != "fused_pallas":
+            grouped = ops.group_points(
+                cloud_xyz, idx.reshape(b, n_r * n_h * ns, k)
+            ).reshape(b, n_r, n_h, ns, k, 3)
+            # relative, then rotate into the gripper frame (rotate_xyz=True,
+            # pointnet2_utils.py:281-284): g' = R^T (p - c)
+            rel = grouped - seed_xyz[:, None, None, :, None, :]
             # NOTE (v5e, 2026-08-17): an elementwise-FMA rotation (to dodge
             # the conv emitter's ~3 ms layout copy on this einsum) measured
             # 60.05 vs 60.65 clouds/s e2e — the strided minor-dim-3 slices
@@ -190,6 +203,31 @@ class MultiScaleWidthGrouping(nn.Module):
 
         if interpret is None:  # explicit 'fused' off-TPU runs interpreted
             interpret = jax.default_backend() != "tpu"
+        out = width_mlp_fused(
+            rel, self._folded_mlp_weights(n_r), interpret=interpret
+        )
+        return jnp.transpose(out, (0, 2, 1, 3))  # (B, Ns, D, R*C)
+
+    def _fused_mlp_rot(self, d, vp_rot, n_r, *, interpret=None):
+        """Eval-only scale MLPs with the rotation folded into layer 0.
+
+        d: (B, S, R, H, K, 3) UNROTATED grouped-relative coords. Output is
+        the head's final (B, Ns, D, R*C) layout directly — see
+        ops/pallas/widthmlp_kernel.width_mlp_fused_rot."""
+        from graspbalance_tpu.ops.pallas.widthmlp_kernel import (
+            width_mlp_fused_rot,
+        )
+
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        return width_mlp_fused_rot(
+            d, vp_rot, self._folded_mlp_weights(n_r), interpret=interpret
+        )
+
+    def _folded_mlp_weights(self, n_r):
+        """Eval-mode BN fold of the mlp_scale{ri} SharedMLP param trees
+        (epsilon 1e-5, nn/layers.py BatchNorm default):
+        y = relu(x @ (W*a) + (beta - mean*a)), a = gamma/sqrt(var+eps)."""
         weights = []
         for ri in range(n_r):
             p = self.scope.get_variable("params", f"mlp_scale{ri}")
@@ -202,8 +240,7 @@ class MultiScaleWidthGrouping(nn.Module):
                 a = bn["scale"] * jax.lax.rsqrt(bs["var"] + 1e-5)
                 layer_ws.append((kern * a[None, :], bn["bias"] - bs["mean"] * a))
             weights.append(tuple(layer_ws))
-        out = width_mlp_fused(rel, tuple(weights), interpret=interpret)
-        return jnp.transpose(out, (0, 2, 1, 3))  # (B, Ns, D, R*C)
+        return tuple(weights)
 
 
 class GraspParametersHead(nn.Module):

@@ -141,3 +141,146 @@ def _compiler_params():
         return cp(vmem_limit_bytes=100 * 1024 * 1024)
     except (TypeError, AttributeError):  # older signature
         return cp()
+
+
+def _mlp_rot_kernel(d_ref, w0_ref, b0_ref, *refs, n_r: int, n_tail: int,
+                    compute_dtype, c1: int, out_c: int):
+    """Rotation-folded variant: d_ref (1, st, R, H, K, 3) UNROTATED rel
+    coords (seed-major); w0_ref (1, st, 3, R*C1) per-seed folded layer-0
+    weights (rot @ W0_cat); b0_ref (1, R*C1); refs = R*n_tail*2 tail
+    weight/bias refs + scratch (R, st*H*K, C1) + out_ref
+    (1, st, H, R*out_c). Pallas passes scratch refs AFTER outputs:
+    refs = [*tail_weights, out_ref, scratch]."""
+    out_ref = refs[-2]
+    scr = refs[-1]
+    wrefs = refs[:-2]
+    _, st, r, h, k, _ = d_ref.shape
+    hk = h * k
+
+    for si in range(st):
+        x = d_ref[0, si].reshape(r * hk, 3)
+        w = w0_ref[0, si]  # (3, R*C1)
+        xa = jax.lax.dot(
+            x.astype(compute_dtype),
+            w.astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        )  # (R*H*K, R*C1): row block ri only needs channel block ri
+        for ri in range(n_r):
+            piece = xa[ri * hk : (ri + 1) * hk, ri * c1 : (ri + 1) * c1]
+            piece = jnp.maximum(
+                piece + b0_ref[:, ri * c1 : (ri + 1) * c1], 0.0
+            )
+            scr[ri, si * hk : (si + 1) * hk, :] = piece
+
+    for ri in range(n_r):
+        x = scr[ri]
+        for li in range(n_tail):
+            w = wrefs[(ri * n_tail + li) * 2][:]
+            b = wrefs[(ri * n_tail + li) * 2 + 1][:]
+            x = jax.lax.dot(
+                x.astype(compute_dtype),
+                w.astype(compute_dtype),
+                preferred_element_type=jnp.float32,
+            )
+            x = jnp.maximum(x + b, 0.0)
+        g = jnp.max(x.reshape(st * h, k, out_c), axis=1)
+        out_ref[0, :, :, ri * out_c : (ri + 1) * out_c] = g.reshape(
+            st, h, out_c
+        )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("s_tile", "compute_dtype", "interpret"),
+)
+def width_mlp_fused_rot(
+    d: jnp.ndarray,
+    rot: jnp.ndarray,
+    weights: tuple,
+    *,
+    s_tile: int = 16,
+    compute_dtype=jnp.float32,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Rotation-folded fused width MLPs.
+
+    d: (B, S, R, H, K, 3) UNROTATED grouped-relative coords (seed-major);
+    rot: (B, S, 3, 3) per-seed gripper rotations (rel = d @ rot);
+    weights: R tuples of ALL SharedMLP layers ((W0,b0), (W1,b1), ...) with
+    BN pre-folded. Layer 0 absorbs the rotation per seed:
+    h1 = (d @ rot) @ W0 == d @ (rot @ W0) — the (B,S,3,R*C1) effective
+    weights are built here with one tiny einsum, so the 50 MB rotated-rel
+    tensor (and the conv emitter's ~3 ms layout copy on it,
+    profile 2026-08-17) never exists.
+
+    Returns (B, S, H, R*C_last) — the head's final (B, Ns, D, 4C) layout
+    directly, no trailing transpose.
+    """
+    b, s, r, h, k, _ = d.shape
+    n_tail = len(weights[0]) - 1
+    c1 = weights[0][0][0].shape[1]
+    out_c = weights[0][-1][0].shape[1]
+    st = min(s_tile, s)
+    while s % st:
+        st -= 1
+
+    w0_cat = jnp.concatenate(
+        [jnp.asarray(weights[ri][0][0], jnp.float32) for ri in range(r)],
+        axis=1,
+    )  # (3, R*C1)
+    b0_cat = jnp.concatenate(
+        [jnp.asarray(weights[ri][0][1], jnp.float32) for ri in range(r)]
+    ).reshape(1, -1)
+    # per-seed effective layer-0 weights: rel@W0 == d @ (rot @ W0)
+    w0_eff = jnp.einsum(
+        "bsji,ic->bsjc", jnp.asarray(rot, jnp.float32), w0_cat
+    )  # (B, S, 3, R*C1)
+
+    flat = []
+    for ri in range(r):
+        for (w, bias) in weights[ri][1:]:
+            flat.append(jnp.asarray(w, jnp.float32))
+            flat.append(jnp.asarray(bias, jnp.float32).reshape(1, -1))
+
+    kernel = functools.partial(
+        _mlp_rot_kernel,
+        n_r=r,
+        n_tail=n_tail,
+        compute_dtype=compute_dtype,
+        c1=c1,
+        out_c=out_c,
+    )
+    wspecs = [
+        pl.BlockSpec(w.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+        for w in flat
+    ]
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, s // st),
+        in_specs=[
+            pl.BlockSpec(
+                (1, st, r, h, k, 3),
+                lambda i, j: (i, j, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, st, 3, r * c1),
+                lambda i, j: (i, j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, r * c1), lambda i, j: (0, 0), memory_space=pltpu.VMEM
+            ),
+            *wspecs,
+        ],
+        out_specs=pl.BlockSpec(
+            (1, st, h, r * out_c),
+            lambda i, j: (i, j, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, s, h, r * out_c), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((r, st * h * k, c1), jnp.float32)],
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(d, w0_eff, b0_cat, *flat)
+    return out

@@ -13,7 +13,10 @@ import jax
 import jax.numpy as jnp
 
 from graspbalance_tpu.models.heads import MultiScaleWidthGrouping
-from graspbalance_tpu.ops.pallas.widthmlp_kernel import width_mlp_fused
+from graspbalance_tpu.ops.pallas.widthmlp_kernel import (
+    width_mlp_fused,
+    width_mlp_fused_rot,
+)
 
 
 @pytest.fixture
@@ -47,6 +50,42 @@ def test_width_mlp_fused_matches_reference(rng):
             x = np.maximum(x @ np.asarray(w, np.float64) + np.asarray(bias, np.float64), 0.0)
         want[..., ri * widths[-1] : (ri + 1) * widths[-1]] = x.max(axis=3)
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+
+
+def test_width_mlp_fused_rot_matches_reference(rng):
+    """Rotation-folded kernel vs plain jnp: (d @ rot) @ W chain + max."""
+    b, s, r, h, k = 2, 8, 3, 2, 16
+    widths = (8, 12, 24)
+    d = jnp.asarray(rng.standard_normal((b, s, r, h, k, 3)), jnp.float32)
+    q, _ = np.linalg.qr(rng.standard_normal((b, s, 3, 3)))
+    rot = jnp.asarray(q.astype(np.float32))
+    weights = []
+    for _ in range(r):
+        ws, cin = [], 3
+        for c in widths:
+            ws.append(
+                (
+                    jnp.asarray(rng.standard_normal((cin, c)) * 0.3, jnp.float32),
+                    jnp.asarray(rng.standard_normal((c,)) * 0.1, jnp.float32),
+                )
+            )
+            cin = c
+        weights.append(tuple(ws))
+    got = width_mlp_fused_rot(d, rot, tuple(weights), interpret=True)
+
+    dd = np.asarray(d, np.float64)
+    rr = np.asarray(rot, np.float64)
+    rel = np.einsum("bsrhkj,bsji->bsrhki", dd, rr)
+    want = np.zeros((b, s, h, r * widths[-1]), np.float32)
+    for ri in range(r):
+        x = rel[:, :, ri]
+        for w, bias in weights[ri]:
+            x = np.maximum(
+                x @ np.asarray(w, np.float64) + np.asarray(bias, np.float64),
+                0.0,
+            )
+        want[..., ri * widths[-1] : (ri + 1) * widths[-1]] = x.max(axis=3)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
 
 
 def _random_stats(variables, rng):
