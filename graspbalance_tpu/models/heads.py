@@ -155,16 +155,16 @@ class MultiScaleWidthGrouping(nn.Module):
         )
 
         if impl != "fused_pallas" and use_fused_tail:
-            # seed-major gather, NO rotation pass: the per-seed rotation
-            # folds into the kernel's layer-0 weights (rel@W0 == d@(R@W0)),
-            # so neither the rotated 50 MB rel tensor nor the conv
-            # emitter's ~3 ms layout copy on it is ever built
+            # seed-major gather, NO rotation or subtraction pass: both fold
+            # into the kernel's per-seed layer-0 weights/biases
+            # ((p-c)@R@W0 == p@(R@W0) + (b0 - c@(R@W0))), so the rotated
+            # rel tensor, the conv emitter's ~3 ms layout copy, and the
+            # 6.2 ms broadcast-subtract (profile 2026-08-17) never exist
             idx_t = jnp.transpose(idx, (0, 3, 1, 2, 4))  # (B, S, R, H, K)
             grouped = ops.group_points(
                 cloud_xyz, idx_t.reshape(b, ns * n_r * n_h, k)
             ).reshape(b, ns, n_r, n_h, k, 3)
-            d = grouped - seed_xyz[:, :, None, None, None, :]
-            return self._fused_mlp_rot(d, vp_rot, n_r)
+            return self._fused_mlp_rot(grouped, seed_xyz, vp_rot, n_r)
 
         if impl != "fused_pallas":
             grouped = ops.group_points(
@@ -208,10 +208,11 @@ class MultiScaleWidthGrouping(nn.Module):
         )
         return jnp.transpose(out, (0, 2, 1, 3))  # (B, Ns, D, R*C)
 
-    def _fused_mlp_rot(self, d, vp_rot, n_r, *, interpret=None):
-        """Eval-only scale MLPs with the rotation folded into layer 0.
+    def _fused_mlp_rot(self, grouped, seed_xyz, vp_rot, n_r, *, interpret=None):
+        """Eval-only scale MLPs with rotation AND center subtraction folded
+        into layer 0.
 
-        d: (B, S, R, H, K, 3) UNROTATED grouped-relative coords. Output is
+        grouped: (B, S, R, H, K, 3) raw gathered neighbor coords. Output is
         the head's final (B, Ns, D, R*C) layout directly — see
         ops/pallas/widthmlp_kernel.width_mlp_fused_rot."""
         from graspbalance_tpu.ops.pallas.widthmlp_kernel import (
@@ -221,7 +222,11 @@ class MultiScaleWidthGrouping(nn.Module):
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         return width_mlp_fused_rot(
-            d, vp_rot, self._folded_mlp_weights(n_r), interpret=interpret
+            grouped,
+            seed_xyz,
+            vp_rot,
+            self._folded_mlp_weights(n_r),
+            interpret=interpret,
         )
 
     def _folded_mlp_weights(self, n_r):

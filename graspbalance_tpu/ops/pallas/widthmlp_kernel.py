@@ -143,22 +143,23 @@ def _compiler_params():
         return cp()
 
 
-def _mlp_rot_kernel(d_ref, w0_ref, b0_ref, *refs, n_r: int, n_tail: int,
+def _mlp_rot_kernel(p_ref, w0_ref, b0_ref, *refs, n_r: int, n_tail: int,
                     compute_dtype, c1: int, out_c: int):
-    """Rotation-folded variant: d_ref (1, st, R, H, K, 3) UNROTATED rel
-    coords (seed-major); w0_ref (1, st, 3, R*C1) per-seed folded layer-0
-    weights (rot @ W0_cat); b0_ref (1, R*C1); refs = R*n_tail*2 tail
-    weight/bias refs + scratch (R, st*H*K, C1) + out_ref
-    (1, st, H, R*out_c). Pallas passes scratch refs AFTER outputs:
-    refs = [*tail_weights, out_ref, scratch]."""
+    """Rotation-folded variant: p_ref (1, st, R, H, K, 3) RAW grouped
+    coords (seed-major; the center subtraction is folded into the per-seed
+    bias); w0_ref (1, st, 3, R*C1) per-seed folded layer-0 weights
+    (rot @ W0_cat); b0_ref (1, st, R*C1) per-seed biases
+    (b0 - center @ W0_eff); refs = R*n_tail*2 tail weight/bias refs +
+    scratch (R, st*H*K, C1) + out_ref (1, st, H, R*out_c). Pallas passes
+    scratch refs AFTER outputs: refs = [*tail_weights, out_ref, scratch]."""
     out_ref = refs[-2]
     scr = refs[-1]
     wrefs = refs[:-2]
-    _, st, r, h, k, _ = d_ref.shape
+    _, st, r, h, k, _ = p_ref.shape
     hk = h * k
 
     for si in range(st):
-        x = d_ref[0, si].reshape(r * hk, 3)
+        x = p_ref[0, si].reshape(r * hk, 3)
         w = w0_ref[0, si]  # (3, R*C1)
         xa = jax.lax.dot(
             x.astype(compute_dtype),
@@ -168,7 +169,7 @@ def _mlp_rot_kernel(d_ref, w0_ref, b0_ref, *refs, n_r: int, n_tail: int,
         for ri in range(n_r):
             piece = xa[ri * hk : (ri + 1) * hk, ri * c1 : (ri + 1) * c1]
             piece = jnp.maximum(
-                piece + b0_ref[:, ri * c1 : (ri + 1) * c1], 0.0
+                piece + b0_ref[:, si, ri * c1 : (ri + 1) * c1], 0.0
             )
             scr[ri, si * hk : (si + 1) * hk, :] = piece
 
@@ -194,7 +195,8 @@ def _mlp_rot_kernel(d_ref, w0_ref, b0_ref, *refs, n_r: int, n_tail: int,
     static_argnames=("s_tile", "compute_dtype", "interpret"),
 )
 def width_mlp_fused_rot(
-    d: jnp.ndarray,
+    grouped: jnp.ndarray,
+    centers: jnp.ndarray,
     rot: jnp.ndarray,
     weights: tuple,
     *,
@@ -202,21 +204,23 @@ def width_mlp_fused_rot(
     compute_dtype=jnp.float32,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Rotation-folded fused width MLPs.
+    """Rotation- and center-folded fused width MLPs.
 
-    d: (B, S, R, H, K, 3) UNROTATED grouped-relative coords (seed-major);
-    rot: (B, S, 3, 3) per-seed gripper rotations (rel = d @ rot);
-    weights: R tuples of ALL SharedMLP layers ((W0,b0), (W1,b1), ...) with
-    BN pre-folded. Layer 0 absorbs the rotation per seed:
-    h1 = (d @ rot) @ W0 == d @ (rot @ W0) — the (B,S,3,R*C1) effective
-    weights are built here with one tiny einsum, so the 50 MB rotated-rel
-    tensor (and the conv emitter's ~3 ms layout copy on it,
-    profile 2026-08-17) never exists.
+    grouped: (B, S, R, H, K, 3) RAW gathered neighbor coords (seed-major);
+    centers: (B, S, 3) seed positions; rot: (B, S, 3, 3) per-seed gripper
+    rotations (rel = (p - c) @ rot); weights: R tuples of ALL SharedMLP
+    layers ((W0,b0), (W1,b1), ...) with BN pre-folded. Layer 0 absorbs
+    both the rotation and the center subtraction per seed:
+    ((p - c) @ rot) @ W0 == p @ (rot @ W0) + (b0 - c @ (rot @ W0)) — the
+    (B,S,3,R*C1) effective weights and (B,S,R*C1) effective biases are
+    built here with two tiny einsums, so neither the rotated-rel tensor
+    (conv emitter's ~3 ms layout copy) nor the standalone 6.2 ms
+    broadcast-subtract pass (profile 2026-08-17) ever exists.
 
     Returns (B, S, H, R*C_last) — the head's final (B, Ns, D, 4C) layout
     directly, no trailing transpose.
     """
-    b, s, r, h, k, _ = d.shape
+    b, s, r, h, k, _ = grouped.shape
     n_tail = len(weights[0]) - 1
     c1 = weights[0][0][0].shape[1]
     out_c = weights[0][-1][0].shape[1]
@@ -230,11 +234,14 @@ def width_mlp_fused_rot(
     )  # (3, R*C1)
     b0_cat = jnp.concatenate(
         [jnp.asarray(weights[ri][0][1], jnp.float32) for ri in range(r)]
-    ).reshape(1, -1)
-    # per-seed effective layer-0 weights: rel@W0 == d @ (rot @ W0)
+    )  # (R*C1,)
+    # per-seed effective layer-0 weights: rel@W0 == (p - c) @ (rot @ W0)
     w0_eff = jnp.einsum(
         "bsji,ic->bsjc", jnp.asarray(rot, jnp.float32), w0_cat
     )  # (B, S, 3, R*C1)
+    b0_eff = b0_cat[None, None] - jnp.einsum(
+        "bsj,bsjc->bsc", jnp.asarray(centers, jnp.float32), w0_eff
+    )  # (B, S, R*C1)
 
     flat = []
     for ri in range(r):
@@ -269,7 +276,9 @@ def width_mlp_fused_rot(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, r * c1), lambda i, j: (0, 0), memory_space=pltpu.VMEM
+                (1, st, r * c1),
+                lambda i, j: (i, j, 0),
+                memory_space=pltpu.VMEM,
             ),
             *wspecs,
         ],
@@ -282,5 +291,5 @@ def width_mlp_fused_rot(
         scratch_shapes=[pltpu.VMEM((r, st * h * k, c1), jnp.float32)],
         compiler_params=_compiler_params(),
         interpret=interpret,
-    )(d, w0_eff, b0_cat, *flat)
+    )(grouped, w0_eff, b0_eff, *flat)
     return out

@@ -53,10 +53,16 @@ def test_width_mlp_fused_matches_reference(rng):
 
 
 def test_width_mlp_fused_rot_matches_reference(rng):
-    """Rotation-folded kernel vs plain jnp: (d @ rot) @ W chain + max."""
+    """Rotation+center-folded kernel vs plain jnp:
+    ((p - c) @ rot) @ W chain + max."""
     b, s, r, h, k = 2, 8, 3, 2, 16
     widths = (8, 12, 24)
-    d = jnp.asarray(rng.standard_normal((b, s, r, h, k, 3)), jnp.float32)
+    centers = jnp.asarray(
+        (rng.random((b, s, 3)) - 0.5).astype(np.float32)
+    )
+    grouped = centers[:, :, None, None, None, :] + jnp.asarray(
+        rng.standard_normal((b, s, r, h, k, 3)) * 0.1, jnp.float32
+    )
     q, _ = np.linalg.qr(rng.standard_normal((b, s, 3, 3)))
     rot = jnp.asarray(q.astype(np.float32))
     weights = []
@@ -71,9 +77,13 @@ def test_width_mlp_fused_rot_matches_reference(rng):
             )
             cin = c
         weights.append(tuple(ws))
-    got = width_mlp_fused_rot(d, rot, tuple(weights), interpret=True)
+    got = width_mlp_fused_rot(
+        grouped, centers, rot, tuple(weights), interpret=True
+    )
 
-    dd = np.asarray(d, np.float64)
+    dd = np.asarray(grouped, np.float64) - np.asarray(centers, np.float64)[
+        :, :, None, None, None, :
+    ]
     rr = np.asarray(rot, np.float64)
     rel = np.einsum("bsrhkj,bsji->bsrhki", dd, rr)
     want = np.zeros((b, s, h, r * widths[-1]), np.float32)
