@@ -82,17 +82,78 @@ def _flat_take_sorted_bwd(res, ct):
 
 _flat_take_sorted_vjp.defvjp(_flat_take_sorted_fwd, _flat_take_sorted_bwd)
 
+
+# N (source rows per batch element) at or below which the one-hot backward
+# applies; above it the transposed one-hot plane gets too large and the
+# default scatter-add is used instead.
+_ONEHOT_VJP_MAX_N = 2048
+# cap on the (rows_chunk, N) one-hot plane per einsum step, in elements
+_ONEHOT_CHUNK_ELEMS = 1 << 25  # 32M f32 = 128 MB
+
+
+@jax.custom_vjp
+def _flat_take_onehot_vjp(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """_flat_take with a transposed-one-hot matmul backward.
+
+    The scatter-add VJP XLA emits for the gather serializes on TPU; when the
+    destination is small (backbone feature gathers scatter into at most
+    N=2048 rows) the same reduction is an MXU matmul: grad = onehot(idx)^T
+    @ ct, chunked over the gathered-row axis so the (rows, N) one-hot plane
+    stays bounded. f32 operands at Precision.HIGHEST keep full cotangent
+    mantissas (accumulation order differs from the scatter — fp
+    reassociation only). Reference equivalent: the atomicAdd backward of
+    group_points_gpu.cu:86."""
+    return _flat_take(points, idx)
+
+
+def _flat_take_onehot_fwd(points, idx):
+    exemplar = jnp.zeros(points.shape[:2] + (0,), points.dtype)
+    return _flat_take(points, idx), (idx, exemplar)
+
+
+def _flat_take_onehot_bwd(res, ct):
+    idx, exemplar = res
+    b, n, _ = exemplar.shape
+    c = ct.shape[-1]
+    dtype = exemplar.dtype
+    rows = idx.reshape(b, -1).astype(jnp.int32)  # (B, R)
+    r = rows.shape[1]
+    ctf = ct.reshape(b, r, c)
+    chunk = max(512, min(r, _ONEHOT_CHUNK_ELEMS // max(n, 1)))
+    chunk = _round_up_rows(min(chunk, r))
+    grad = jnp.zeros((b, n, c), jnp.float32)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    for s in range(0, r, chunk):
+        e = min(s + chunk, r)
+        onehot = (rows[:, s:e, None] == iota).astype(jnp.float32)
+        grad = grad + jnp.einsum(
+            "brn,brc->bnc",
+            onehot,
+            ctf[:, s:e].astype(jnp.float32),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    return grad.astype(dtype), None
+
+
+def _round_up_rows(x: int, m: int = 256) -> int:
+    return ((x + m - 1) // m) * m
+
+
+_flat_take_onehot_vjp.defvjp(_flat_take_onehot_fwd, _flat_take_onehot_bwd)
+
 # backward implementation for gather_points/group_points: 'xla' (default
-# autodiff scatter-add) | 'sorted' (argsort + sorted scatter-add). Module
-# state rather than a per-call arg so model code stays oblivious; flip with
-# set_gather_vjp() before tracing (it is baked into the jaxpr).
+# autodiff scatter-add) | 'sorted' (argsort + sorted scatter-add) | 'onehot'
+# (transposed one-hot matmul when the destination has <= _ONEHOT_VJP_MAX_N
+# rows, scatter-add otherwise). Module state rather than a per-call arg so
+# model code stays oblivious; flip with set_gather_vjp() before tracing (it
+# is baked into the jaxpr).
 _GATHER_VJP = "xla"
 
 
 def set_gather_vjp(kind: str) -> None:
-    """Select the gather backward: 'xla' | 'sorted' (see _flat_take_sorted_vjp)."""
+    """Select the gather backward: 'xla' | 'sorted' | 'onehot'."""
     global _GATHER_VJP
-    if kind not in ("xla", "sorted"):
+    if kind not in ("xla", "sorted", "onehot"):
         raise ValueError(f"unknown gather vjp: {kind}")
     _GATHER_VJP = kind
 
@@ -100,6 +161,8 @@ def set_gather_vjp(kind: str) -> None:
 def _dispatch(points, idx):
     if _GATHER_VJP == "sorted":
         return _flat_take_sorted_vjp(points, idx)
+    if _GATHER_VJP == "onehot" and points.shape[1] <= _ONEHOT_VJP_MAX_N:
+        return _flat_take_onehot_vjp(points, idx)
     return _flat_take(points, idx)
 
 

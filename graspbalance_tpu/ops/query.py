@@ -234,6 +234,26 @@ def _first_k_from_class(cls_t: jnp.ndarray, ri: int, hi: int, nsample: int) -> j
     return jnp.where(js < count, pos, pad).astype(jnp.int32)
 
 
+def _batch_chunked_vmap(fn, args, batch_chunk: int):
+    """vmap fn over the leading batch axis in slices of <= batch_chunk rows,
+    statically unrolled.
+
+    The rank-position selection's count/cumsum reduce fusions fall off
+    XLA's fast path when the vmapped batch dim exceeds 4 on v5e (measured
+    2026-08-17: the ~180 convert_reduce fusions of a bs=8 forward cost
+    37.2 ms vs 2.9 ms at bs=4 — 12.8x at identical op count, the whole
+    bs>4 throughput collapse). Chunking the batch keeps every reduce at
+    the fast-path shape; same total work, linear scaling restored."""
+    b = args[0].shape[0]
+    if b <= batch_chunk:
+        return jax.vmap(fn)(*args)
+    outs = []
+    for s in range(0, b, batch_chunk):
+        e = min(s + batch_chunk, b)
+        outs.append(jax.vmap(fn)(*(a[s:e] for a in args)))
+    return jnp.concatenate(outs, axis=0)
+
+
 def _chunked_centers(fn, centers_like, chunk: int):
     """Run fn over center chunks of a pytree whose leaves lead with the m
     axis. Statically unrolled (few chunks; a lax.map here nests a scan under
@@ -255,7 +275,7 @@ def _chunked_centers(fn, centers_like, chunk: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nsample", "order", "chunk")
+    jax.jit, static_argnames=("nsample", "order", "chunk", "batch_chunk")
 )
 def ball_query(
     xyz: jnp.ndarray,
@@ -266,6 +286,7 @@ def ball_query(
     valid: jnp.ndarray | None = None,
     order: str = "index",
     chunk: int = 512,
+    batch_chunk: int = 4,
 ) -> jnp.ndarray:
     """Fixed-radius neighbor indices.
 
@@ -296,9 +317,12 @@ def ball_query(
         return _chunked_centers(per_chunk, ctr, chunk)
 
     if valid is None:
-        vmapped = jax.vmap(lambda p, c: per_batch((p, c, None)))
-        return vmapped(xyz, centers)
-    return jax.vmap(lambda p, c, v: per_batch((p, c, v)))(xyz, centers, valid)
+        return _batch_chunked_vmap(
+            lambda p, c: per_batch((p, c, None)), (xyz, centers), batch_chunk
+        )
+    return _batch_chunked_vmap(
+        lambda p, c, v: per_batch((p, c, v)), (xyz, centers, valid), batch_chunk
+    )
 
 
 def _cyl_hits(pts, ctr, rot, r2, hmin, hmax, vld):
@@ -320,7 +344,9 @@ def _cyl_hits(pts, ctr, rot, r2, hmin, hmax, vld):
     return hit, d2
 
 
-@functools.partial(jax.jit, static_argnames=("nsample", "order", "chunk"))
+@functools.partial(
+    jax.jit, static_argnames=("nsample", "order", "chunk", "batch_chunk")
+)
 def cylinder_query(
     xyz: jnp.ndarray,
     centers: jnp.ndarray,
@@ -333,6 +359,7 @@ def cylinder_query(
     valid: jnp.ndarray | None = None,
     order: str = "index",
     chunk: int = 256,
+    batch_chunk: int = 4,
 ) -> jnp.ndarray:
     """Gripper-aligned cylinder neighbor indices.
 
@@ -352,15 +379,19 @@ def cylinder_query(
         return _chunked_centers(per_chunk, (ctr, rr), chunk)
 
     if valid is None:
-        return jax.vmap(lambda p, c, rr: per_batch(p, c, rr, None))(xyz, centers, rot)
-    return jax.vmap(per_batch)(xyz, centers, rot, valid)
+        return _batch_chunked_vmap(
+            lambda p, c, rr: per_batch(p, c, rr, None),
+            (xyz, centers, rot),
+            batch_chunk,
+        )
+    return _batch_chunked_vmap(per_batch, (xyz, centers, rot, valid), batch_chunk)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "radii", "hmaxs", "nsample", "order", "chunk", "tile", "impl",
-        "interpret",
+        "interpret", "batch_chunk",
     ),
 )
 def multi_cylinder_query(
@@ -377,6 +408,7 @@ def multi_cylinder_query(
     tile: int = 128,
     impl: str = "auto",
     interpret: bool = False,
+    batch_chunk: int = 4,
 ) -> jnp.ndarray:
     """All (radius, hmax) cylinder queries in one pass over the cloud.
 
@@ -429,7 +461,7 @@ def multi_cylinder_query(
         out = _chunked_centers_leading(per_chunk, (ctr, rr), chunk, len(radii), len(hmaxs), nsample)
         return out
 
-    return jax.vmap(per_batch)(xyz, centers, rot)
+    return _batch_chunked_vmap(per_batch, (xyz, centers, rot), batch_chunk)
 
 
 def _multi_cylinder_query_pallas(

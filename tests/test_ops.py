@@ -70,6 +70,54 @@ class TestBallQuery:
         got = np.asarray(ops.ball_query(jnp.asarray(pts), jnp.asarray(centers), 0.1, 8))
         np.testing.assert_array_equal(got, np.zeros((1, 3, 8), np.int32))
 
+    def test_batch_chunked_matches_unchunked(self, rng):
+        """batch_chunk < B routes through _batch_chunked_vmap (the bs>4
+        reduce-fusion fast-path fix, docs/NOTES.md) — results must be
+        identical to the plain vmap, including a ragged final chunk."""
+        pts = random_cloud(rng, 5, 120)
+        centers = pts[:, :13, :]
+        raw = rng.standard_normal((5, 13, 3, 3)).astype(np.float32)
+        rot = np.linalg.qr(raw)[0].astype(np.float32)
+        want = np.asarray(
+            ops.ball_query(
+                jnp.asarray(pts), jnp.asarray(centers), 0.15, 8, batch_chunk=8
+            )
+        )
+        got = np.asarray(
+            ops.ball_query(
+                jnp.asarray(pts), jnp.asarray(centers), 0.15, 8, batch_chunk=2
+            )
+        )
+        np.testing.assert_array_equal(got, want)
+        want = np.asarray(
+            ops.cylinder_query(
+                jnp.asarray(pts), jnp.asarray(centers), jnp.asarray(rot),
+                0.08, -0.02, 0.04, 8, batch_chunk=8,
+            )
+        )
+        got = np.asarray(
+            ops.cylinder_query(
+                jnp.asarray(pts), jnp.asarray(centers), jnp.asarray(rot),
+                0.08, -0.02, 0.04, 8, batch_chunk=2,
+            )
+        )
+        np.testing.assert_array_equal(got, want)
+        radii = (0.02, 0.05, 0.08, 0.11)
+        hmaxs = (0.01, 0.02, 0.03, 0.04)
+        want = np.asarray(
+            ops.multi_cylinder_query(
+                jnp.asarray(pts), jnp.asarray(centers), jnp.asarray(rot),
+                radii, -0.02, hmaxs, 8, batch_chunk=8,
+            )
+        )
+        got = np.asarray(
+            ops.multi_cylinder_query(
+                jnp.asarray(pts), jnp.asarray(centers), jnp.asarray(rot),
+                radii, -0.02, hmaxs, 8, batch_chunk=2,
+            )
+        )
+        np.testing.assert_array_equal(got, want)
+
     def test_nearest_order_set(self, rng):
         """nearest-k returns the k nearest hits (set check vs oracle d2)."""
         pts = random_cloud(rng, 1, 200)
@@ -230,6 +278,75 @@ class TestGatherInterp:
             gmod.set_gather_vjp("xla")
         np.testing.assert_array_equal(np.asarray(got_primal), np.asarray(want_primal))
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_onehot_vjp_matches_xla(self, rng):
+        """gather/group backward via the transposed one-hot matmul
+        (set_gather_vjp('onehot')) equals the default XLA scatter-add VJP.
+        Integer-valued cotangents make duplicate-index sums
+        order-independent, so the comparison is exact. Also checks the
+        large-N fallback (N > _ONEHOT_VJP_MAX_N stays on the scatter path)
+        and the multi-chunk path (rows > chunk)."""
+        from graspbalance_tpu.ops import gather as gmod
+
+        pts = jnp.asarray(rng.integers(-8, 8, (2, 30, 5)).astype(np.float32))
+        gidx = jnp.asarray(rng.integers(0, 30, (2, 7, 4)).astype(np.int32))
+        midx = jnp.asarray(rng.integers(0, 30, (2, 9)).astype(np.int32))
+        ct_g = jnp.asarray(rng.integers(-4, 5, (2, 7, 4, 5)).astype(np.float32))
+        ct_m = jnp.asarray(rng.integers(-4, 5, (2, 9, 5)).astype(np.float32))
+
+        def loss(p):
+            return jnp.sum(ops.group_points(p, gidx) * ct_g) + jnp.sum(
+                ops.gather_points(p, midx) * ct_m
+            )
+
+        want_primal = loss(pts)
+        want = jax.grad(loss)(pts)
+        gmod.set_gather_vjp("onehot")
+        try:
+            got_primal = loss(pts)
+            got = jax.grad(loss)(pts)
+
+            # multi-chunk path: >512 gathered rows with the chunk cap at
+            # its 512-row floor forces the row loop to run twice
+            bigidx = jnp.asarray(
+                rng.integers(0, 30, (2, 150, 4)).astype(np.int32)
+            )
+            ct_big = jnp.asarray(
+                rng.integers(-4, 5, (2, 150, 4, 5)).astype(np.float32)
+            )
+
+            def loss_big(p):
+                return jnp.sum(ops.group_points(p, bigidx) * ct_big)
+
+            old = gmod._ONEHOT_CHUNK_ELEMS
+            gmod._ONEHOT_CHUNK_ELEMS = 64  # chunk floor 512 < 600 rows
+            try:
+                got_chunked = jax.grad(loss_big)(pts)
+            finally:
+                gmod._ONEHOT_CHUNK_ELEMS = old
+            gmod.set_gather_vjp("xla")
+            want_chunked = jax.grad(loss_big)(pts)
+            gmod.set_gather_vjp("onehot")
+
+            # large-N fallback: N above the threshold must keep working
+            # (routes to the plain scatter path)
+            big = jnp.asarray(
+                rng.integers(-8, 8, (1, gmod._ONEHOT_VJP_MAX_N + 8, 3)).astype(
+                    np.float32
+                )
+            )
+            bidx = jnp.asarray(
+                rng.integers(0, big.shape[1], (1, 6)).astype(np.int32)
+            )
+            gbig = jax.grad(
+                lambda p: jnp.sum(ops.gather_points(p, bidx))
+            )(big)
+        finally:
+            gmod.set_gather_vjp("xla")
+        np.testing.assert_array_equal(np.asarray(got_primal), np.asarray(want_primal))
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        np.testing.assert_array_equal(np.asarray(got_chunked), np.asarray(want_chunked))
+        assert float(jnp.sum(gbig)) == 18.0  # 6 rows x 3 channels of ones
 
 
 class TestPallasInterpret:
