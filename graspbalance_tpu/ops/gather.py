@@ -141,19 +141,57 @@ def _round_up_rows(x: int, m: int = 256) -> int:
 
 _flat_take_onehot_vjp.defvjp(_flat_take_onehot_fwd, _flat_take_onehot_bwd)
 
+
+@jax.custom_vjp
+def _flat_take_pallas_vjp(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """_flat_take with the Pallas one-hot-tile matmul backward.
+
+    Like the 'onehot' mode, the scatter-add becomes grad = onehot(idx)^T @
+    ct — but the one-hot tiles are built in VMEM inside the kernel and fed
+    straight to the MXU, never touching HBM (ops/pallas/scatter_kernel.py).
+    Applies when the destination has <= _ONEHOT_VJP_MAX_N rows (all feature
+    gathers in this model); duplicate indices accumulate in f32 with a
+    different summation order than XLA's scatter (fp reassociation only).
+    Reference equivalent: the atomicAdd backward of group_points_gpu.cu:86."""
+    return _flat_take(points, idx)
+
+
+def _flat_take_pallas_fwd(points, idx):
+    exemplar = jnp.zeros(points.shape[:2] + (0,), points.dtype)
+    return _flat_take(points, idx), (idx, exemplar)
+
+
+def _flat_take_pallas_bwd(res, ct):
+    from graspbalance_tpu.ops.pallas.scatter_kernel import scatter_add_matmul
+
+    idx, exemplar = res
+    b, n, _ = exemplar.shape
+    c = ct.shape[-1]
+    grad = scatter_add_matmul(
+        ct.reshape(b, -1, c).astype(jnp.float32),
+        idx.reshape(b, -1),
+        n,
+        interpret=jax.default_backend() != "tpu",
+    )
+    return grad.astype(exemplar.dtype), None
+
+
+_flat_take_pallas_vjp.defvjp(_flat_take_pallas_fwd, _flat_take_pallas_bwd)
+
 # backward implementation for gather_points/group_points: 'xla' (default
 # autodiff scatter-add) | 'sorted' (argsort + sorted scatter-add) | 'onehot'
 # (transposed one-hot matmul when the destination has <= _ONEHOT_VJP_MAX_N
-# rows, scatter-add otherwise). Module state rather than a per-call arg so
-# model code stays oblivious; flip with set_gather_vjp() before tracing (it
-# is baked into the jaxpr).
+# rows, scatter-add otherwise) | 'pallas' (same algebra with the one-hot
+# tiles built in VMEM, ops/pallas/scatter_kernel.py). Module state rather
+# than a per-call arg so model code stays oblivious; flip with
+# set_gather_vjp() before tracing (it is baked into the jaxpr).
 _GATHER_VJP = "xla"
 
 
 def set_gather_vjp(kind: str) -> None:
-    """Select the gather backward: 'xla' | 'sorted' | 'onehot'."""
+    """Select the gather backward: 'xla' | 'sorted' | 'onehot' | 'pallas'."""
     global _GATHER_VJP
-    if kind not in ("xla", "sorted", "onehot"):
+    if kind not in ("xla", "sorted", "onehot", "pallas"):
         raise ValueError(f"unknown gather vjp: {kind}")
     _GATHER_VJP = kind
 
@@ -163,6 +201,8 @@ def _dispatch(points, idx):
         return _flat_take_sorted_vjp(points, idx)
     if _GATHER_VJP == "onehot" and points.shape[1] <= _ONEHOT_VJP_MAX_N:
         return _flat_take_onehot_vjp(points, idx)
+    if _GATHER_VJP == "pallas" and points.shape[1] <= _ONEHOT_VJP_MAX_N:
+        return _flat_take_pallas_vjp(points, idx)
     return _flat_take(points, idx)
 
 

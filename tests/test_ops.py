@@ -352,6 +352,69 @@ class TestGatherInterp:
 class TestPallasInterpret:
     """Pallas kernels in interpreter mode (CPU) vs the oracle."""
 
+    def test_scatter_kernel_interpret(self, rng):
+        """scatter_add_matmul == .at[idx].add() exactly for integer-valued
+        cotangents (both compute dtypes; the one-hot operand is exact and
+        small-integer sums are exact in bf16 products + f32 accumulation).
+        Covers -1 dropped rows, row padding, and destination-tile padding."""
+        from graspbalance_tpu.ops.pallas.scatter_kernel import (
+            scatter_add_matmul,
+        )
+
+        for b, r, n, c in [(2, 300, 70, 5), (1, 2100, 257, 33)]:
+            ct = rng.integers(-4, 5, (b, r, c)).astype(np.float32)
+            idx = rng.integers(0, n, (b, r)).astype(np.int32)
+            idx[0, :3] = -1  # dropped rows
+            want = np.zeros((b, n, c), np.float32)
+            for bi in range(b):
+                keep = idx[bi] >= 0
+                np.add.at(want[bi], idx[bi][keep], ct[bi][keep])
+            for cd in ("float32", "bfloat16"):
+                got = np.asarray(
+                    scatter_add_matmul(
+                        jnp.asarray(ct), jnp.asarray(idx), n,
+                        compute_dtype=cd, interpret=True,
+                    )
+                )
+                np.testing.assert_array_equal(got, want)
+
+    def test_pallas_vjp_matches_xla(self, rng):
+        """set_gather_vjp('pallas') backward == the XLA scatter-add VJP
+        (exact for integer cotangents), including the large-N fallback."""
+        from graspbalance_tpu.ops import gather as gmod
+
+        pts = jnp.asarray(rng.integers(-8, 8, (2, 30, 5)).astype(np.float32))
+        gidx = jnp.asarray(rng.integers(0, 30, (2, 7, 4)).astype(np.int32))
+        midx = jnp.asarray(rng.integers(0, 30, (2, 9)).astype(np.int32))
+        ct_g = jnp.asarray(rng.integers(-4, 5, (2, 7, 4, 5)).astype(np.float32))
+        ct_m = jnp.asarray(rng.integers(-4, 5, (2, 9, 5)).astype(np.float32))
+
+        def loss(p):
+            return jnp.sum(ops.group_points(p, gidx) * ct_g) + jnp.sum(
+                ops.gather_points(p, midx) * ct_m
+            )
+
+        want_primal = loss(pts)
+        want = jax.grad(loss)(pts)
+        gmod.set_gather_vjp("pallas")
+        try:
+            got_primal = loss(pts)
+            got = jax.grad(loss)(pts)
+            big = jnp.asarray(
+                rng.integers(-8, 8, (1, gmod._ONEHOT_VJP_MAX_N + 8, 3)).astype(
+                    np.float32
+                )
+            )
+            bidx = jnp.asarray(
+                rng.integers(0, big.shape[1], (1, 6)).astype(np.int32)
+            )
+            gbig = jax.grad(lambda p: jnp.sum(ops.gather_points(p, bidx)))(big)
+        finally:
+            gmod.set_gather_vjp("xla")
+        np.testing.assert_array_equal(np.asarray(got_primal), np.asarray(want_primal))
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        assert float(jnp.sum(gbig)) == 18.0  # large-N scatter fallback
+
     def test_fps_pallas_interpret(self, rng):
         from graspbalance_tpu.ops.pallas.fps_kernel import fps_pallas
 
