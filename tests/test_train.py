@@ -97,6 +97,36 @@ class TestTrainStep:
             rtol=2e-3,
         )
 
+    def test_sharded_inference_matches_single_device(self):
+        """Eval forward + decode, batch sharded over the 8-device data mesh,
+        matches the single-device result. Eval mode has no cross-sample
+        reductions (BN uses running stats, decode is per-sample), but SPMD
+        partitioning still changes fusion/contraction order inside each
+        sample's math (measured max abs diff 1.4e-8 on CPU), so the check
+        is a tight allclose, not bitwise."""
+        from graspbalance_tpu.models.decode import pred_decode
+
+        cfg, model, state, batch = tiny_setup(8)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        cloud = jnp.asarray(batch["point_clouds"])
+
+        @jax.jit
+        def fwd(v, c):
+            ep = model.apply(v, {"point_clouds": c}, train=False)
+            grasps, valid = pred_decode(ep)
+            return grasps, valid
+
+        g_single, v_single = fwd(variables, cloud)
+
+        mesh = make_mesh(8)
+        with mesh:
+            sharded_cloud = shard_batch({"pc": cloud}, mesh)["pc"]
+            g_mesh, v_mesh = fwd(variables, sharded_cloud)
+        np.testing.assert_allclose(
+            np.asarray(g_single), np.asarray(g_mesh), rtol=1e-4, atol=1e-6
+        )
+        np.testing.assert_array_equal(np.asarray(v_single), np.asarray(v_mesh))
+
     def test_bn_momentum_schedule(self):
         from graspbalance_tpu.nn.layers import bn_momentum_schedule
 

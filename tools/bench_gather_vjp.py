@@ -37,6 +37,15 @@ def main():
 
     bs = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     cfg = Config()
+    # GB_WIDTH_MLP_DTYPE=bfloat16 measures the documented non-parity train
+    # speed knob (cfg.model.width_mlp_dtype) on the same workload
+    wd = os.environ.get("GB_WIDTH_MLP_DTYPE")
+    if wd:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, width_mlp_dtype=wd)
+        )
     model = ts.build_model(cfg)
     batch = {
         k: jnp.asarray(x) for k, x in make_batch(0, bs, SceneConfig()).items()

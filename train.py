@@ -26,6 +26,11 @@ def parse_args():
     p.add_argument("--no-ncm", dest="ncm", action="store_false")
     p.add_argument("--backbone", default="drp", choices=["drp", "pointnet2"])
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument(
+        "--width_mlp_dtype", default=None, choices=[None, "bfloat16"],
+        help="compute dtype of the stage-2 scale MLPs only; bfloat16 cuts "
+        "the train step ~17%% on v5e (non-parity speed knob, docs/NOTES.md)",
+    )
     p.add_argument("--synthetic_steps", type=int, default=50,
                    help="steps/epoch when running on synthetic data")
     return p.parse_args()
@@ -39,7 +44,8 @@ def main():
 
     cfg = Config(
         model=ModelConfig(
-            num_view=args.num_view, backbone=args.backbone, dtype=args.dtype
+            num_view=args.num_view, backbone=args.backbone, dtype=args.dtype,
+            width_mlp_dtype=args.width_mlp_dtype,
         ),
         data=DataConfig(
             dataset_root=args.dataset_root,
