@@ -11,6 +11,7 @@ from graspbalance_tpu.ops.query import (
     ball_query,
     cylinder_query,
     multi_cylinder_query,
+    set_query_batch_chunk,
 )
 from graspbalance_tpu.ops.knn import knn1, knn, three_nn
 from graspbalance_tpu.ops.gather import gather_points, group_points
@@ -22,6 +23,7 @@ __all__ = [
     "ball_query",
     "cylinder_query",
     "multi_cylinder_query",
+    "set_query_batch_chunk",
     "knn1",
     "knn",
     "three_nn",

@@ -234,7 +234,27 @@ def _first_k_from_class(cls_t: jnp.ndarray, ri: int, hi: int, nsample: int) -> j
     return jnp.where(js < count, pos, pad).astype(jnp.int32)
 
 
-def _batch_chunked_vmap(fn, args, batch_chunk: int):
+# default batch-chunk for the query vmaps when the call site passes
+# batch_chunk=None. 4 is the single-device fast-path shape; SPMD callers
+# (train loop, multichip dryrun) raise it to 4 * n_data_shards via
+# set_query_batch_chunk so a chunk never slices INSIDE the sharded batch
+# axis — a global slice narrower than the shard count would leave devices
+# idle per chunk (GSPMD masks them out), serializing the query.
+_DEFAULT_BATCH_CHUNK = 4
+
+
+def set_query_batch_chunk(n: int) -> None:
+    """Set the default query batch-chunk (baked into jaxprs at trace time).
+
+    Use 4 * n_data_shards when tracing under a data-sharded mesh; 4 on a
+    single device (the v5e reduce-fusion fast-path shape, docs/NOTES.md)."""
+    global _DEFAULT_BATCH_CHUNK
+    if n < 1:
+        raise ValueError(f"batch chunk must be >= 1: {n}")
+    _DEFAULT_BATCH_CHUNK = n
+
+
+def _batch_chunked_vmap(fn, args, batch_chunk: int | None):
     """vmap fn over the leading batch axis in slices of <= batch_chunk rows,
     statically unrolled.
 
@@ -244,6 +264,8 @@ def _batch_chunked_vmap(fn, args, batch_chunk: int):
     37.2 ms vs 2.9 ms at bs=4 — 12.8x at identical op count, the whole
     bs>4 throughput collapse). Chunking the batch keeps every reduce at
     the fast-path shape; same total work, linear scaling restored."""
+    if batch_chunk is None:
+        batch_chunk = _DEFAULT_BATCH_CHUNK
     b = args[0].shape[0]
     if b <= batch_chunk:
         return jax.vmap(fn)(*args)
@@ -286,7 +308,7 @@ def ball_query(
     valid: jnp.ndarray | None = None,
     order: str = "index",
     chunk: int = 512,
-    batch_chunk: int = 4,
+    batch_chunk: int | None = None,
 ) -> jnp.ndarray:
     """Fixed-radius neighbor indices.
 
@@ -359,7 +381,7 @@ def cylinder_query(
     valid: jnp.ndarray | None = None,
     order: str = "index",
     chunk: int = 256,
-    batch_chunk: int = 4,
+    batch_chunk: int | None = None,
 ) -> jnp.ndarray:
     """Gripper-aligned cylinder neighbor indices.
 
@@ -408,7 +430,7 @@ def multi_cylinder_query(
     tile: int = 128,
     impl: str = "auto",
     interpret: bool = False,
-    batch_chunk: int = 4,
+    batch_chunk: int | None = None,
 ) -> jnp.ndarray:
     """All (radius, hmax) cylinder queries in one pass over the cloud.
 

@@ -13,6 +13,7 @@ from typing import Callable, Iterable
 import jax
 import jax.numpy as jnp
 
+from graspbalance_tpu.ops import query as ops_query
 from graspbalance_tpu.parallel.mesh import make_mesh, shard_batch
 from graspbalance_tpu.train.checkpoints import CheckpointManager
 from graspbalance_tpu.train.config import Config
@@ -62,6 +63,10 @@ def train(
 ):
     """train_batches(epoch) -> iterable of numpy batch dicts."""
     mesh = make_mesh(cfg.train.n_data_shards)
+    # under a data-sharded mesh, query batch-chunks must span whole shards:
+    # a global slice narrower than the shard count leaves devices idle per
+    # chunk (GSPMD masks them), serializing the query (ops/query.py)
+    ops_query.set_query_batch_chunk(4 * mesh.shape["data"])
     sample = None
     for sample in train_batches(0):
         break

@@ -118,6 +118,31 @@ class TestBallQuery:
         )
         np.testing.assert_array_equal(got, want)
 
+    def test_query_batch_chunk_default(self, rng):
+        """batch_chunk=None reads the module default (set_query_batch_chunk,
+        the SPMD-aware knob): a default of 2 must equal explicit 2 and the
+        unchunked result."""
+        from graspbalance_tpu.ops import query as qmod
+
+        pts = random_cloud(rng, 5, 80)
+        centers = pts[:, :9, :]
+        want = np.asarray(
+            ops.ball_query(
+                jnp.asarray(pts), jnp.asarray(centers), 0.15, 8, batch_chunk=8
+            )
+        )
+        old = qmod._DEFAULT_BATCH_CHUNK
+        try:
+            ops.set_query_batch_chunk(2)
+            got = np.asarray(
+                ops.ball_query(jnp.asarray(pts), jnp.asarray(centers), 0.15, 8)
+            )
+        finally:
+            qmod._DEFAULT_BATCH_CHUNK = old
+        np.testing.assert_array_equal(got, want)
+        with pytest.raises(ValueError):
+            ops.set_query_batch_chunk(0)
+
     def test_nearest_order_set(self, rng):
         """nearest-k returns the k nearest hits (set check vs oracle d2)."""
         pts = random_cloud(rng, 1, 200)
