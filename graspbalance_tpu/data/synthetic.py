@@ -25,6 +25,28 @@ class SceneConfig:
     grasp_points_per_object: int = 300
     num_objects: int = 8
     table_frac: float = 0.4
+    # share ONE base label tensor across all scenes/batches (zero-copy
+    # broadcast views): scene geometry still varies; use for throughput and
+    # smoke-training workloads where per-scene label variety is irrelevant
+    static_labels: bool = False
+
+
+_BASE_LABELS: dict = {}
+_BCAST_CACHE: dict = {}
+
+
+def _base_label_tensors(vad: tuple) -> tuple:
+    """Per-shape cached (labels, widths, tolerance) base tensors, drawn once
+    from a fixed-seed generator (content is independent of scene rng)."""
+    if vad not in _BASE_LABELS:
+        rng = np.random.default_rng(0xC0FFEE)
+        labels = np.zeros(vad, np.float32)
+        graspable = rng.random(vad) < 0.5
+        labels[graspable] = rng.uniform(0.1, 1.2, int(graspable.sum()))
+        widths = rng.uniform(0.0, 0.12, vad).astype(np.float32)
+        tolerance = rng.uniform(0.0, 0.05, vad).astype(np.float32)
+        _BASE_LABELS[vad] = (labels, widths, tolerance)
+    return _BASE_LABELS[vad]
 
 
 def make_scene(rng: np.random.Generator, cfg: SceneConfig) -> dict:
@@ -93,13 +115,28 @@ def make_scene(rng: np.random.Generator, cfg: SceneConfig) -> dict:
         gmask[lo:hi] = True
 
     vad = (p_max, cfg.num_views, cfg.num_angles, cfg.num_depths)
-    labels = np.zeros(vad, np.float32)
-    # friction scores in (0, 1.2]; ~half the entries zero (ungraspable)
-    graspable = rng.random(vad) < 0.5
-    labels[graspable] = rng.uniform(0.1, 1.2, graspable.sum())
-    widths = rng.uniform(0.0, 0.12, vad).astype(np.float32)
-    tolerance = rng.uniform(0.0, 0.05, vad).astype(np.float32)
-    labels[~gmask] = 0.0
+    # The (P, V, A, D) label tensors are ~59M elements each at production
+    # shape; drawing them independently per scene costs ~180M RNG draws
+    # (~15 s/step on the 1-core host — it starved the prefetch thread and
+    # made synthetic training data-bound, measured 2026-08-18). Instead a
+    # base tensor per shape is drawn ONCE and each scene takes a cheap
+    # random roll along the point axis: per-scene tensors stay
+    # deterministic in `rng`, keep the same distributions (~half zero,
+    # scores in (0.1, 1.2], widths/tolerance uniform), and decorrelate
+    # across scenes enough for overfit/throughput workloads.
+    base_l, base_w, base_t = _base_label_tensors(vad)
+    if cfg.static_labels:
+        # shared read-only views: no per-scene copy at all. Rows of invalid
+        # grasp-point slots are never consumed (label_gen masks them out of
+        # the nearest-point argmin), so skipping the gmask zeroing is safe.
+        labels, widths, tolerance = base_l, base_w, base_t
+        rng.integers(0, p_max, 3)  # keep the rng stream position identical
+    else:
+        shifts = rng.integers(0, p_max, 3)
+        labels = np.roll(base_l, int(shifts[0]), axis=0)
+        widths = np.roll(base_w, int(shifts[1]), axis=0)
+        tolerance = np.roll(base_t, int(shifts[2]), axis=0)
+        labels[~gmask] = 0.0
 
     return {
         "point_clouds": cloud,
@@ -120,4 +157,23 @@ def make_batch(seed: int, batch_size: int, cfg: SceneConfig | None = None) -> di
     cfg = cfg or SceneConfig()
     rng = np.random.default_rng(seed)
     scenes = [make_scene(rng, cfg) for _ in range(batch_size)]
-    return {k: np.stack([s[k] for s in scenes]) for k in scenes[0]}
+    out = {}
+    for k in scenes[0]:
+        if cfg.static_labels and k in (
+            "grasp_labels", "grasp_widths", "grasp_tolerance"
+        ):
+            # all scenes share the base tensor: broadcast a view instead of
+            # np.stack-copying 3 x B x 236 MB (measured ~11 s/batch on the
+            # 1-core host, 2026-08-18 — it made synthetic training
+            # data-bound at 15 s/step vs the 146 ms device step). The view
+            # is cached so every batch returns the SAME array object —
+            # the train loop's transfer cache then uploads it only once.
+            ck = (k, batch_size) + scenes[0][k].shape
+            if ck not in _BCAST_CACHE:
+                _BCAST_CACHE[ck] = np.broadcast_to(
+                    scenes[0][k][None], (batch_size,) + scenes[0][k].shape
+                )
+            out[k] = _BCAST_CACHE[ck]
+        else:
+            out[k] = np.stack([s[k] for s in scenes])
+    return out

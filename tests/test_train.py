@@ -127,6 +127,27 @@ class TestTrainStep:
         )
         np.testing.assert_array_equal(np.asarray(v_single), np.asarray(v_mesh))
 
+    def test_static_labels_mode(self):
+        """SceneConfig(static_labels=True) produces zero-copy broadcast label
+        tensors, identical scene GEOMETRY to the varied mode (same rng
+        stream), and trains through one step (broadcast views must survive
+        jnp.asarray + the jitted step)."""
+        from graspbalance_tpu.data.synthetic import make_batch
+        import dataclasses
+
+        scene_s = dataclasses.replace(TINY_SCENE, static_labels=True)
+        bs_ = make_batch(3, 2, scene_s)
+        bv = make_batch(3, 2, TINY_SCENE)
+        for k in bs_:
+            if k not in ("grasp_labels", "grasp_widths", "grasp_tolerance"):
+                np.testing.assert_array_equal(bs_[k], bv[k])
+        assert bs_["grasp_labels"].strides[0] == 0  # broadcast view, no copy
+        cfg, model, state, _ = tiny_setup(2)
+        step_fn = ts.make_train_step(model, cfg)
+        jb = {k: jnp.asarray(v) for k, v in bs_.items()}
+        _, metrics = step_fn(state, jb, jnp.int32(0))
+        assert np.isfinite(float(metrics["loss/overall_loss"]))
+
     def test_bn_momentum_schedule(self):
         from graspbalance_tpu.nn.layers import bn_momentum_schedule
 

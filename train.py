@@ -33,6 +33,11 @@ def parse_args():
     )
     p.add_argument("--synthetic_steps", type=int, default=50,
                    help="steps/epoch when running on synthetic data")
+    p.add_argument(
+        "--synthetic_varied_labels", action="store_true",
+        help="draw per-scene synthetic label tensors (slower host datagen); "
+        "default shares one base tensor across scenes (static_labels)",
+    )
     return p.parse_args()
 
 
@@ -75,7 +80,11 @@ def main():
     else:
         from graspbalance_tpu.data.synthetic import SceneConfig, make_batch
 
-        scene = SceneConfig(num_points=args.num_point, num_views=args.num_view)
+        scene = SceneConfig(
+            num_points=args.num_point,
+            num_views=args.num_view,
+            static_labels=not args.synthetic_varied_labels,
+        )
         steps = args.synthetic_steps
 
         def train_batches(epoch):
