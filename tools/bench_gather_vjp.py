@@ -46,6 +46,17 @@ def main():
         cfg = dataclasses.replace(
             cfg, model=dataclasses.replace(cfg.model, width_mlp_dtype=wd)
         )
+    # GB_MODEL_DTYPE=bfloat16 measures whole-model bf16 compute in TRAIN
+    # (cfg.model.dtype; params/BN stats stay f32). Eval bf16 measured slower
+    # on v5e (round-2 NOTES) but the backward doubles the conv work, so the
+    # train tradeoff is its own measurement.
+    md = os.environ.get("GB_MODEL_DTYPE")
+    if md:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, dtype=md)
+        )
     model = ts.build_model(cfg)
     batch = {
         k: jnp.asarray(x) for k, x in make_batch(0, bs, SceneConfig()).items()
