@@ -28,6 +28,14 @@ from graspbalance_tpu.nn.layers import MLPBlock
 from graspbalance_tpu.nn.sa_fp import SetAbstraction, FeaturePropagation
 
 
+def _no_lifted_agg() -> bool:
+    """GB_NO_LIFTED_AGG=1 restores the grouped-conv LocalAggregation path
+    (A/B escape hatch for the lifted pre-gather matmul formulation)."""
+    import os
+
+    return bool(os.environ.get("GB_NO_LIFTED_AGG"))
+
+
 class LocalAggregation(nn.Module):
     """Local neighborhood aggregation (TrainModel/drp.py:32-67 +
     ModifiedNetTools/group.py:225-253).
@@ -48,6 +56,15 @@ class LocalAggregation(nn.Module):
     query_order: str = "index"
     dtype: jnp.dtype = jnp.float32
 
+    def _reduce(self, out):
+        if self.reduction == "max":
+            return jnp.max(out, axis=2)
+        if self.reduction in ("mean", "avg"):
+            return jnp.mean(out, axis=2)
+        if self.reduction == "sum":
+            return jnp.sum(out, axis=2)
+        raise ValueError(f"unknown reduction {self.reduction}")
+
     @nn.compact
     def __call__(self, xyz, feats, *, train: bool, bn_momentum=0.1):
         if self.grouper == "ballquery":
@@ -58,12 +75,6 @@ class LocalAggregation(nn.Module):
             _, idx = ops.knn(xyz, xyz, self.nsample)
         else:
             raise ValueError(f"unknown grouper {self.grouper}")
-        # NOTE: gathering xyz+feats as one concatenated (3+C)-wide gather
-        # was measured SLOWER on v5e (backbone 30 -> 35 ms) — unaligned
-        # 131-float rows gather worse than two aligned gathers. Keep split.
-        dp = ops.group_points(xyz, idx) - xyz[:, :, None, :]  # (B,N,K,3)
-        fj = ops.group_points(feats, idx)  # (B,N,K,C)
-        dp = dp.astype(fj.dtype)
 
         from graspbalance_tpu.ops.pallas.mlpmax_kernel import (
             fold_bn_layers,
@@ -74,6 +85,9 @@ class LocalAggregation(nn.Module):
         if self.feature_type == "dp_fj" and fused_eval_ok(self, train, self.nsample):
             # fused eval: conv+BN+ReLU+reduce VMEM-resident, dp|fj concat
             # never materializes (per-part layer-0 split)
+            dp = ops.group_points(xyz, idx) - xyz[:, :, None, :]
+            fj = ops.group_points(feats, idx)
+            dp = dp.astype(fj.dtype)
             ((w0, b0),) = fold_bn_layers(
                 self.scope.get_variable("params", "conv"),
                 self.scope.get_variable("batch_stats", "conv"),
@@ -86,6 +100,37 @@ class LocalAggregation(nn.Module):
                     "mean" if self.reduction in ("mean", "avg") else "sum"
                 ),
             )
+
+        blk = MLPBlock(self.channels, dtype=self.dtype, name="conv")
+
+        if self.feature_type == "dp_fj" and not _no_lifted_agg():
+            # Lifted aggregation: the block's single conv commutes with the
+            # neighbor gather —
+            #   [p_j - c_i, f_j] @ W = [p_j, f_j] @ W - [c_i, 0] @ W
+            # so both matmuls run at N rows (not N*K), ONE gather moves the
+            # conv outputs (replacing the split xyz+feats gathers), and the
+            # grouped (B,N,K,C) tensor is touched only by subtract/BN/act/
+            # reduce — no conv on it, hence no conv-demanded relayout copy
+            # (the 0.4 ms copies at ops/gather.py:34 in the r3 profile).
+            # Exact up to dot-product reassociation; no bias double-count
+            # because use_bn=True drops the dense bias. GB_NO_LIFTED_AGG=1
+            # restores the grouped-conv path for A/B.
+            cat = jnp.concatenate([xyz.astype(feats.dtype), feats], axis=-1)
+            e = blk(cat, train=train, bn_momentum=bn_momentum, stage="dense")
+            zcat = jnp.concatenate(
+                [xyz.astype(feats.dtype), jnp.zeros_like(feats)], axis=-1
+            )
+            cw = blk(zcat, train=train, bn_momentum=bn_momentum, stage="dense")
+            pre = ops.group_points(e, idx) - cw[:, :, None, :]
+            out = blk(pre, train=train, bn_momentum=bn_momentum, stage="post")
+            return self._reduce(out)
+
+        # NOTE: gathering xyz+feats as one concatenated (3+C)-wide gather
+        # was measured SLOWER on v5e (backbone 30 -> 35 ms) — unaligned
+        # 131-float rows gather worse than two aligned gathers. Keep split.
+        dp = ops.group_points(xyz, idx) - xyz[:, :, None, :]  # (B,N,K,3)
+        fj = ops.group_points(feats, idx)  # (B,N,K,C)
+        dp = dp.astype(fj.dtype)
 
         if self.feature_type == "dp_fj":
             grouped = jnp.concatenate([dp, fj], axis=-1)
@@ -103,16 +148,8 @@ class LocalAggregation(nn.Module):
             grouped = jnp.concatenate([dp, df], axis=-1)
         else:
             raise ValueError(f"unknown feature_type {self.feature_type}")
-        out = MLPBlock(self.channels, dtype=self.dtype, name="conv")(
-            grouped, train=train, bn_momentum=bn_momentum
-        )
-        if self.reduction == "max":
-            return jnp.max(out, axis=2)
-        if self.reduction in ("mean", "avg"):
-            return jnp.mean(out, axis=2)
-        if self.reduction == "sum":
-            return jnp.sum(out, axis=2)
-        raise ValueError(f"unknown reduction {self.reduction}")
+        out = blk(grouped, train=train, bn_momentum=bn_momentum)
+        return self._reduce(out)
 
 
 class InvResMLP(nn.Module):

@@ -113,7 +113,13 @@ class MLPBlock(nn.Module):
         return create_act(self.act_type)(x)
 
     @nn.compact
-    def __call__(self, x, *, train: bool, bn_momentum=0.1):
+    def __call__(self, x, *, train: bool, bn_momentum=0.1, stage: str | None = None):
+        """stage=None: the full block. stage='dense': only the 1x1 conv;
+        stage='post': only norm+act on a precomputed pre-activation. The
+        split lets callers commute the conv with a gather (the lifted
+        local-aggregation path, models/drp.py) while keeping this module's
+        param tree; both partial stages require the default conv-norm-act
+        order and together reproduce the full block exactly."""
         if self.order not in ("conv-norm-act", "norm-act-conv", "conv-act-norm"):
             raise NotImplementedError(f"{self.order} is not supported")
         dense = nn.Dense(
@@ -123,6 +129,18 @@ class MLPBlock(nn.Module):
             param_dtype=jnp.float32,
             name="dense",
         )
+        if stage is not None:
+            if self.order != "conv-norm-act":
+                raise ValueError("staged call requires order='conv-norm-act'")
+            if stage == "dense":
+                return dense(x)
+            if stage != "post":
+                raise ValueError(f"unknown stage {stage}")
+            if self.use_bn:
+                x = self._norm(x, self.features, train=train, momentum=bn_momentum)
+            if self.act:
+                x = self._act(x)
+            return x
         if self.order == "norm-act-conv":
             if self.use_bn:
                 x = self._norm(x, x.shape[-1], train=train, momentum=bn_momentum)
