@@ -176,6 +176,47 @@ def main():
             return jnp.sum(labels)
 
         args = (dv, cloud, jax.random.PRNGKey(2))
+    elif target == "obs":
+        # BASELINE config 2: DSN seg + cluster + forward with OBS re-seeding
+        from graspbalance_tpu.models.dsn import DSN, cluster
+
+        cfg = Config()
+        model = build_model(cfg)
+        v = jax.jit(lambda r, b: model.init(r, b, train=False))(
+            jax.random.PRNGKey(0), {"point_clouds": cloud[:1]})
+        dsn = DSN(knn_method="approx")  # run_all config-2 speed mode
+        dv = jax.jit(lambda r, c: dsn.init(r, c, train=False))(
+            jax.random.PRNGKey(1), cloud[:1])
+
+        @jax.jit
+        def f(v, dv, c, key):
+            seg = dsn.apply(dv, c, train=False)
+            fg = jnp.argmax(seg["foreground_logits"], axis=-1) == 1
+            labels, _, _ = cluster(c[..., :3], seg["center_offsets"], fg, key)
+            ep = model.apply(
+                v, {"point_clouds": c, "seed_cluster": labels}, train=False)
+            return jnp.sum(ep["grasp_score_pred"])
+
+        args = (v, dv, cloud, jax.random.PRNGKey(2))
+    elif target == "obsonly":
+        # isolate the OBS re-seeding ops: full-cloud feature upsample +
+        # per-object masked FPS + quota assembly (eval/obs.py)
+        from graspbalance_tpu.eval.obs import object_balance_sampling
+        from graspbalance_tpu.ops.interpolate import interpolate_features
+
+        feats1024 = jnp.asarray(
+            rng.normal(size=(bs, 1024, 256)).astype(np.float32))
+        labels = jnp.asarray(
+            rng.integers(0, 9, size=(bs, 20000)).astype(np.int32))
+
+        @jax.jit
+        def f(c, feats, labels):
+            up = interpolate_features(c[..., :3], c[:, :1024, :3], feats)
+            ox, of, oi = object_balance_sampling(
+                c[..., :3], up, labels, num_seed=1024)
+            return jnp.sum(of) + jnp.sum(oi)
+
+        args = (cloud, feats1024, labels)
     elif target == "labels":
         from graspbalance_tpu.labels.label_gen import process_grasp_labels
 
@@ -222,6 +263,8 @@ def main():
             print("HLO dumped:", out, len(txt), "bytes")
         except Exception as e:  # noqa: BLE001
             print("HLO dump failed:", str(e)[:200])
+        if os.environ.get("GB_HLO_ONLY"):
+            return
     shutil.rmtree(TRACE_DIR, ignore_errors=True)
     n = 3
     with jax.profiler.trace(TRACE_DIR):
