@@ -44,22 +44,23 @@ def masked_fps(xyz: jnp.ndarray, valid: jnp.ndarray, num_samples: int) -> jnp.nd
 
 
 @functools.partial(jax.jit, static_argnames=("num_seed", "fps_cap", "max_objects"))
-def object_balance_sampling(
+def object_balance_indices(
     points: jnp.ndarray,
-    features: jnp.ndarray,
     seed_cluster: jnp.ndarray,
     *,
     num_seed: int = 1024,
     fps_cap: int = 512,
     max_objects: int = 16,
-):
-    """points (B, N, 3); features (B, N, C) full-cloud (upsampled) features;
-    seed_cluster (B, N) int instance ids (0 = background).
+) -> jnp.ndarray:
+    """Selection-only OBS: points (B, N, 3); seed_cluster (B, N) int instance
+    ids (0 = background) -> obs_inds (B, num_seed) int32.
 
-    Returns (obs_xyz (B, num_seed, 3), obs_features (B, num_seed, C),
-    obs_inds (B, num_seed) int32)."""
+    The selection never reads features, so callers can defer feature
+    interpolation to just the selected rows (the reference materializes
+    up_sample_features for the whole cloud and then gathers 1024 of the
+    20000 rows, modules.py:181-189 — same math, 20x the work)."""
 
-    def single(pts, feats, labels):
+    def single(pts, labels):
         slots = jnp.arange(1, max_objects + 1)
         masks = labels[None, :] == slots[:, None]  # (O, N)
         present = jnp.any(masks, axis=1)
@@ -85,9 +86,32 @@ def object_balance_sampling(
 
         # no objects at all: keep the identity prefix (degenerate scenes)
         inds = jnp.where(jnp.any(present), inds, p.astype(jnp.int32))
-        return pts[inds], feats[inds], inds.astype(jnp.int32)
+        return inds.astype(jnp.int32)
 
-    return jax.vmap(single)(points, features, seed_cluster)
+    return jax.vmap(single)(points, seed_cluster)
+
+
+@functools.partial(jax.jit, static_argnames=("num_seed", "fps_cap", "max_objects"))
+def object_balance_sampling(
+    points: jnp.ndarray,
+    features: jnp.ndarray,
+    seed_cluster: jnp.ndarray,
+    *,
+    num_seed: int = 1024,
+    fps_cap: int = 512,
+    max_objects: int = 16,
+):
+    """points (B, N, 3); features (B, N, C) full-cloud (upsampled) features;
+    seed_cluster (B, N) int instance ids (0 = background).
+
+    Returns (obs_xyz (B, num_seed, 3), obs_features (B, num_seed, C),
+    obs_inds (B, num_seed) int32)."""
+    inds = object_balance_indices(
+        points, seed_cluster,
+        num_seed=num_seed, fps_cap=fps_cap, max_objects=max_objects,
+    )
+    take = jax.vmap(lambda a, i: a[i])
+    return take(points, inds), take(features, inds), inds
 
 
 @functools.partial(jax.jit, static_argnames=("num_seed",))
@@ -100,9 +124,18 @@ def foreground_sampling(
 ):
     """ForegroundSampling (modules.py:19-47): one FPS over all foreground
     points. points (B,N,3), features (B,N,C), fg_mask (B,N) bool."""
+    inds = foreground_indices(points, fg_mask, num_seed=num_seed)
+    take = jax.vmap(lambda a, i: a[i])
+    return take(points, inds), take(features, inds), inds
 
-    def single(pts, feats, m):
-        inds = masked_fps(pts, m, num_seed)
-        return pts[inds], feats[inds], inds.astype(jnp.int32)
 
-    return jax.vmap(single)(points, features, fg_mask)
+@functools.partial(jax.jit, static_argnames=("num_seed",))
+def foreground_indices(
+    points: jnp.ndarray, fg_mask: jnp.ndarray, *, num_seed: int = 1024
+) -> jnp.ndarray:
+    """Selection-only ForegroundSampling: (B, num_seed) int32 indices."""
+
+    def single(pts, m):
+        return masked_fps(pts, m, num_seed).astype(jnp.int32)
+
+    return jax.vmap(single)(points, fg_mask)

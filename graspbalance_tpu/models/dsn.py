@@ -50,8 +50,12 @@ class DSN(nn.Module):
         off = nn.Dense(3, dtype=self.dtype, param_dtype=jnp.float32, name="off2")(off)
 
         xyz = pointcloud[..., :3]
-        fg_full = interpolate_features(xyz, seed_xyz, fg.astype(jnp.float32))
-        off_full = interpolate_features(xyz, seed_xyz, off.astype(jnp.float32))
+        # one shared three_nn + gather for both heads (same query/ref pair)
+        both = interpolate_features(
+            xyz, seed_xyz,
+            jnp.concatenate([fg.astype(jnp.float32), off.astype(jnp.float32)], axis=-1),
+        )
+        fg_full, off_full = both[..., :2], both[..., 2:]
         return {
             "seed_xyz": seed_xyz,
             "foreground_logits": fg_full,

@@ -108,14 +108,22 @@ class GraspBalance(nn.Module):
         # and re-seed with an equal per-object budget
         # (graspbalance.py:36-46 + modules.py:178-221).
         if "seed_cluster" in batch:
-            from graspbalance_tpu.eval.obs import object_balance_sampling
+            from graspbalance_tpu.eval.obs import object_balance_indices
             from graspbalance_tpu.ops.interpolate import interpolate_features
 
-            up = interpolate_features(ep["input_xyz"], seed_xyz, seed_features)
-            ep["up_sample_features"] = up
-            obs_xyz, obs_feats, obs_inds = object_balance_sampling(
-                ep["input_xyz"], up, batch["seed_cluster"], num_seed=self.num_seed
+            # selection first (it never reads features), then interpolate
+            # seed features at just the 1024 selected points — identical to
+            # the reference's full-cloud up_sample_features + row gather
+            # (graspbalance.py:37-42, modules.py:181-189): interpolation is
+            # pointwise in the query, so deferring it commutes with the
+            # gather and skips the other ~19k rows.
+            obs_inds = object_balance_indices(
+                ep["input_xyz"], batch["seed_cluster"], num_seed=self.num_seed
             )
+            obs_xyz = jnp.take_along_axis(
+                ep["input_xyz"], obs_inds[..., None], axis=1
+            )
+            obs_feats = interpolate_features(obs_xyz, seed_xyz, seed_features)
             ep["fp2_inds_fps"] = ep["fp2_inds"]
             seed_xyz = ep["fp2_xyz"] = obs_xyz
             seed_features = ep["fp2_features"] = obs_feats

@@ -75,24 +75,50 @@ def knn(
     return jax.vmap(single)(query, ref)
 
 
-def three_nn(unknown: jnp.ndarray, known: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+@functools.partial(jax.jit, static_argnames=("impl",))
+def three_nn(
+    unknown: jnp.ndarray, known: jnp.ndarray, *, impl: str = "auto"
+) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Exact 3-NN of each `unknown` point among `known` points.
 
     Mirrors pointnet2 three_nn (+the sqrt applied by its python wrapper,
     PointNet/pointnet2_utils.py:82-84). Ties resolve to the lower index,
     like the CUDA kernel's strict-< update (interpolate_gpu.cu:25-50).
 
-    Implementation: three masked argmin passes over the (N, M) distance
-    matrix — exact, and ~9x faster than the k=3 lax.top_k full sort on TPU
-    (27 -> ~3 ms for (4, 20000, 1024) in the DSN upsample; v5e 2026-08).
+    impl:
+      'exact' (= 'auto') — three masked argmin passes over the delta-form
+        (N, M) distance matrix; bit-matches the reference semantics, and is
+        ~9x faster than a k=3 lax.top_k full sort on TPU. XLA recomputes
+        the fused delta-form per pass and never materializes the matrix.
+      'dot'   — MEASURED NEGATIVE, kept as the documented experiment
+        (v5e 2026-08-18, tools/bench_three_nn.py at (4, 20000, 1024):
+        exact 5.61 ms vs dot 7.60 ms pipelined): selection scores from one
+        MXU matmul (|r|^2 - 2 q.r after centering; the |q|^2 term is
+        constant per row and cannot change an argmin) materialized once,
+        then exact delta-form distances recomputed on the 3 winners.
+        Writing + re-reading the (N, M) score matrix through HBM costs
+        more than XLA's fused recompute of the delta form per pass. The
+        score matmul must run at Precision.HIGHEST — the TPU default
+        (one bf16 pass) has ~4e-3 relative error, which mis-sorts real
+        neighbor gaps, not just ties (index agreement 0.48 measured
+        before the fix).
 
     Args: unknown (B, N, 3); known (B, M, 3).
     Returns: dist (B, N, 3) euclidean, idx (B, N, 3) int32.
     """
+    if impl == "auto":
+        impl = "exact"
 
-    def single(q, r):
+    def pick3(cur, iota):
+        idxs = []
+        for _ in range(3):
+            i = jnp.argmin(cur, axis=-1).astype(jnp.int32)
+            idxs.append(i)
+            cur = jnp.where(iota == i[:, None], jnp.inf, cur)
+        return jnp.stack(idxs, axis=-1)  # (N, 3)
+
+    def single_exact(q, r):
         d2 = _pairwise_d2(q, r)  # (N, M)
-        m = r.shape[0]
         iota = lax.broadcasted_iota(jnp.int32, d2.shape, 1)
         cur = d2
         idxs, vals = [], []
@@ -104,4 +130,20 @@ def three_nn(unknown: jnp.ndarray, known: jnp.ndarray) -> tuple[jnp.ndarray, jnp
         dist = jnp.sqrt(jnp.maximum(jnp.stack(vals, axis=-1), 0.0))
         return dist, jnp.stack(idxs, axis=-1)
 
+    def single_dot(q, r):
+        # center to bound the cancellation error in the score matmul
+        c = jnp.mean(r, axis=0)
+        qc, rc = q - c, r - c
+        scores = jnp.sum(rc * rc, axis=-1)[None, :] - 2.0 * jnp.dot(
+            qc, rc.T, precision=lax.Precision.HIGHEST
+        )  # (N, M)
+        scores = lax.optimization_barrier(scores)  # materialize once
+        iota = lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        idx = pick3(scores, iota)
+        sel = jnp.take(r, idx.reshape(-1), axis=0).reshape(idx.shape + (3,))
+        delta = q[:, None, :] - sel  # (N, 3, 3)
+        d2 = jnp.sum(delta * delta, axis=-1)
+        return jnp.sqrt(jnp.maximum(d2, 0.0)), idx
+
+    single = single_dot if impl == "dot" else single_exact
     return jax.vmap(single)(unknown, known)

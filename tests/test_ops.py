@@ -219,6 +219,20 @@ class TestKNN:
             np.testing.assert_array_equal(np.asarray(idx)[b], iwant)
             np.testing.assert_allclose(np.asarray(dist)[b], dwant, rtol=1e-5, atol=1e-6)
 
+    def test_three_nn_dot_impl(self, rng):
+        # the TPU-default dot impl: same indices as the oracle on random
+        # clouds, distances bit-identical to the exact impl when the
+        # selection agrees (delta-form rescore of the winners)
+        known = random_cloud(rng, 2, 64)
+        unknown = random_cloud(rng, 2, 128)
+        dist, idx = ops.three_nn(jnp.asarray(unknown), jnp.asarray(known), impl="dot")
+        dref, iref = ops.three_nn(jnp.asarray(unknown), jnp.asarray(known), impl="exact")
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(iref))
+        np.testing.assert_array_equal(np.asarray(dist), np.asarray(dref))
+        for b in range(2):
+            _, iwant = oracles.knn_oracle(known[b], unknown[b], 3)
+            np.testing.assert_array_equal(np.asarray(idx)[b], iwant)
+
     def test_knn1_masked(self, rng):
         ref = random_cloud(rng, 1, 20)
         query = ref.copy()
