@@ -102,7 +102,10 @@ def main():
             # instance segmentation feeds OBS re-seeding before stage 1
             from graspbalance_tpu.models.dsn import DSN, cluster
 
-            dsn = DSN(knn_method="approx")  # benchmark speed mode (opt-in; default is exact)
+            # exact kNN (the default): the k-pass argmin impl measures as
+            # fast as the approx-top-k unit at the DSN shapes (3.6 ms at
+            # (4,1024,16), tools/bench_knn.py), so no speed mode is needed
+            dsn = DSN()
             dv = jax.jit(lambda r, c: dsn.init(r, c, train=False))(
                 jax.random.PRNGKey(1), cloud[:1]
             )

@@ -98,6 +98,69 @@ def furthest_point_sample(
     return jax.vmap(fn)(xyz.astype(jnp.float32))
 
 
+def _masked_fps_single_xla(
+    xyz: jnp.ndarray, valid: jnp.ndarray, num_samples: int
+) -> jnp.ndarray:
+    """Greedy FPS restricted to valid points; seed = first valid index
+    (matches the reference FPS seeding at index 0 of the gathered object
+    points, modules.py:199-205). xyz (N, 3), valid (N,) -> (num_samples,)."""
+    n = xyz.shape[0]
+    first = jnp.argmax(valid).astype(jnp.int32)
+
+    def body(carry, _):
+        dist, last = carry
+        d = jnp.sum((xyz - xyz[last]) ** 2, axis=-1)
+        dist = jnp.minimum(dist, d)
+        cand = jnp.where(valid, dist, -1.0)
+        nxt = jnp.argmax(cand).astype(jnp.int32)
+        return (dist, nxt), nxt
+
+    init = (jnp.full((n,), _INIT_DIST, jnp.float32), first)
+    _, rest = lax.scan(body, init, None, length=num_samples - 1)
+    return jnp.concatenate([first[None], rest])
+
+
+@functools.partial(jax.jit, static_argnames=("num_samples", "use_pallas"))
+def furthest_point_sample_masked(
+    xyz: jnp.ndarray,
+    valid: jnp.ndarray,
+    num_samples: int,
+    *,
+    max_needed: jnp.ndarray | None = None,
+    use_pallas: bool | None = None,
+) -> jnp.ndarray:
+    """Batched greedy FPS restricted to per-row valid subsets.
+
+    Args:
+      xyz: (S, N, 3) float point clouds.
+      valid: (S, N) bool candidate masks. Invalid points are never selected
+        (a row with no valid point returns index 0s). Seed = first valid
+        index per row.
+      num_samples: number of points to select (static).
+      max_needed: optional traced int32 scalar — the caller promises to
+        read only the first max_needed samples per row; later slots are
+        unspecified, and the TPU kernel skips whole 128-step phases past it
+        (OBS quotas need only num_seed // num_objects of the fps_cap).
+
+    Returns: (S, num_samples) int32. On TPU this runs the batched-interleaved
+    Pallas kernel with validity folded into the distance init; elsewhere a
+    vmapped lax.scan (bit-identical selection sequences)."""
+    if xyz.ndim != 3 or xyz.shape[-1] != 3:
+        raise ValueError(f"xyz must be (S, N, 3), got {xyz.shape}")
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from graspbalance_tpu.ops.pallas.fps_kernel import (
+            fps_pallas_2d_batched_masked,
+        )
+
+        return fps_pallas_2d_batched_masked(
+            xyz.astype(jnp.float32), valid, num_samples, max_needed=max_needed
+        )
+    fn = functools.partial(_masked_fps_single_xla, num_samples=num_samples)
+    return jax.vmap(fn)(xyz.astype(jnp.float32), valid)
+
+
 def random_sample(xyz: jnp.ndarray, num_samples: int, rng: jax.Array) -> jnp.ndarray:
     """Uniform random subsampling without replacement (the reference's
     alternative sampler, ModifiedNetTools/subsample.py random_sample).

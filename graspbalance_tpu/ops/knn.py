@@ -53,11 +53,20 @@ def knn(
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """k nearest reference points per query.
 
-    method: 'exact' (lax.top_k — a full sort on TPU, use for parity paths)
-    or 'approx' (the TPU approximate-top-k unit, ~10x faster at N>=2k with
-    high recall; used by the point-transformer DSN backbone, which has no
-    reference counterpart to be parity-exact against — pct_zh is absent
-    from the reference repo).
+    method:
+      'exact'  — k masked argmin passes over the fused delta-form (Q, R)
+        distance matrix (the same structure that makes three_nn ~9x faster
+        than a sort on TPU; XLA recomputes the fused d2 per pass and never
+        materializes the matrix). Results are identical to a full sort,
+        including tie order: argmin and lax.top_k both prefer the lower
+        index on equal distances. Only sensible for small k (the DSN
+        point-transformer uses k=16, the DRP knn grouper k<=64).
+      'topk'   — lax.top_k, i.e. a full per-row sort on TPU; the previous
+        'exact' implementation, kept for A/B measurement.
+      'approx' — the TPU approximate-top-k unit (recall < 1.0), used by the
+        point-transformer DSN backbone as an opt-in speed mode (it has no
+        reference counterpart to be parity-exact against — pct_zh is absent
+        from the reference repo).
 
     Returns: (dist, idx) with dist (B, Q, k) euclidean distances (sqrt'd) and
     idx (B, Q, k) int32, nearest first.
@@ -67,9 +76,22 @@ def knn(
         d2 = _pairwise_d2(q, r)
         if method == "approx":
             pos, idx = lax.approx_min_k(d2, k)
-        else:
+        elif method == "topk" or (method == "exact" and k > 32):
+            # beyond ~32 passes the unrolled argmin chain stops paying
+            # vs one full sort; 'exact' falls back to the sort there
             neg, idx = lax.top_k(-d2, k)
             pos = -neg
+        else:
+            iota = lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+            cur = d2
+            idxs, vals = [], []
+            for _ in range(k):
+                i = jnp.argmin(cur, axis=-1).astype(jnp.int32)
+                vals.append(jnp.min(cur, axis=-1))
+                idxs.append(i)
+                cur = jnp.where(iota == i[:, None], jnp.inf, cur)
+            pos = jnp.stack(vals, axis=-1)
+            idx = jnp.stack(idxs, axis=-1)
         return jnp.sqrt(jnp.maximum(pos, 0.0)), idx.astype(jnp.int32)
 
     return jax.vmap(single)(query, ref)

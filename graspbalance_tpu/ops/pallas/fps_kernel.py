@@ -213,6 +213,144 @@ def _fps_kernel_2d_batched(xyz_ref, out_ref, *, num_samples: int,
         carry = tuple(new)
 
 
+def _fps_kernel_2d_batched_masked(needed_ref, xyz_ref, dist0_ref, out_ref, *,
+                                  num_samples: int, batch: int):
+    """Masked sibling of _fps_kernel_2d_batched: validity arrives as a
+    caller-built distance-init plane (valid -> 1e10, invalid -> -1; -1
+    survives every min(dist, d)), and the seed is the FIRST VALID index
+    (min index with dist0 > 0; 0 if nothing is valid) instead of the
+    hard-coded index 0 — matching eval/obs.masked_fps's argmax(valid)
+    seeding. Layouts are identical to the unmasked kernel.
+
+    needed_ref is a (1, 1) SMEM scalar: only the first `needed` output
+    slots are guaranteed (later slots may be 0) — whole 128-step phases
+    past it are skipped at runtime. OBS quotas need only
+    num_seed // num_objects (+remainder) of the fps_cap samples, so a
+    9-object scene runs 1 of 4 phases."""
+    n_rows, lanes = xyz_ref.shape[2], xyz_ref.shape[3]
+    m_pad = out_ref.shape[-1]
+    n_total = n_rows * lanes
+
+    row_ids = lax.broadcasted_iota(jnp.int32, (n_rows, lanes), 0)
+    col_ids = lax.broadcasted_iota(jnp.int32, (n_rows, lanes), 1)
+    iota2 = row_ids * lanes + col_ids
+    lane_iota = lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
+
+    planes = [
+        (xyz_ref[bi, 0], xyz_ref[bi, 1], xyz_ref[bi, 2]) for bi in range(batch)
+    ]
+
+    def pick(bi, best):
+        r = best // lanes
+        c = best - r * lanes
+        hot = lane_iota == c
+        out = []
+        for axis in range(3):
+            rowvec = xyz_ref[bi, axis, pl.ds(r, 1), :]  # (1, lanes)
+            out.append(jnp.sum(jnp.where(hot, rowvec, 0.0)))
+        return out
+
+    def body(jj, carry):
+        new = []
+        for bi in range(batch):
+            dist, buf, lx, ly, lz = carry[bi]
+            x, y, z = planes[bi]
+            dx = x - lx
+            dy = y - ly
+            dz = z - lz
+            d = dx * dx + dy * dy + dz * dz
+            dist = jnp.minimum(dist, d)
+            mx = jnp.max(dist)
+            best = jnp.min(jnp.where(dist == mx, iota2, n_total)).astype(jnp.int32)
+            buf = jnp.where(lane_iota == jj, best, buf)
+            nlx, nly, nlz = pick(bi, best)
+            new.append((dist, buf, nlx, nly, nlz))
+        return tuple(new)
+
+    init = []
+    for bi in range(batch):
+        dist0 = dist0_ref[bi, 0]
+        # seed: first valid index (masked_fps seeds argmax(valid); with no
+        # valid points, fall back to 0 like argmax over all-False)
+        seed = jnp.min(jnp.where(dist0 > 0.0, iota2, n_total)).astype(jnp.int32)
+        seed = jnp.where(seed >= n_total, 0, seed)
+        sx, sy, sz = pick(bi, seed)
+        buf = jnp.where(lane_iota == 0, seed, jnp.zeros((1, lanes), jnp.int32))
+        init.append((dist0, buf, sx, sy, sz))
+    carry = tuple(init)
+    needed = needed_ref[0, 0]
+    for phase in range(m_pad // lanes):
+        # phase 0 starts at 1: slot 0 holds the seed written above.
+        # phases entirely past `needed` are skipped at runtime.
+        carry = lax.cond(
+            phase * lanes < needed,
+            lambda c: lax.fori_loop(1 if phase == 0 else 0, lanes, body, c),
+            lambda c: c,
+            carry,
+        )
+        new = []
+        for bi in range(batch):
+            dist, buf, lx, ly, lz = carry[bi]
+            out_ref[bi, :, phase * lanes : (phase + 1) * lanes] = buf
+            new.append((dist, jnp.zeros((1, lanes), jnp.int32), lx, ly, lz))
+        carry = tuple(new)
+
+
+@functools.partial(jax.jit, static_argnames=("num_samples", "interpret"))
+def fps_pallas_2d_batched_masked(
+    xyz: jnp.ndarray, valid: jnp.ndarray, num_samples: int, *,
+    max_needed: jnp.ndarray | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(S, N, 3) float + (S, N) bool -> (S, num_samples) int32 masked FPS
+    (greedy max-min restricted to valid points, seed = first valid index).
+
+    max_needed: optional traced int32 scalar; output slots >= max_needed are
+    unspecified (0), and whole 128-step phases past it are skipped."""
+    s, n, _ = xyz.shape
+    n_pad = _round_up(n, _LANES)
+    n_rows = n_pad // _LANES
+    xyz_t = jnp.transpose(xyz, (0, 2, 1))  # (S, 3, N)
+    if n_pad != n:
+        xyz_t = jnp.pad(xyz_t, ((0, 0), (0, 0), (0, n_pad - n)))
+    xyz_t = xyz_t.reshape(s, 3, n_rows, _LANES)
+    dist0 = jnp.where(valid, _INIT_DIST, -1.0).astype(jnp.float32)
+    if n_pad != n:
+        dist0 = jnp.pad(dist0, ((0, 0), (0, n_pad - n)), constant_values=-1.0)
+    dist0 = dist0.reshape(s, 1, n_rows, _LANES)
+    m_pad = _round_up(num_samples, _LANES)
+    if max_needed is None:
+        needed = jnp.full((1, 1), num_samples, jnp.int32)
+    else:
+        needed = jnp.clip(
+            jnp.asarray(max_needed, jnp.int32), 1, num_samples
+        ).reshape(1, 1)
+    kernel = functools.partial(
+        _fps_kernel_2d_batched_masked, num_samples=num_samples, batch=s
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (s, 3, n_rows, _LANES), lambda i: (0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (s, 1, n_rows, _LANES), lambda i: (0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (s, 1, m_pad), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((s, 1, m_pad), jnp.int32),
+        interpret=interpret,
+    )(needed, xyz_t, dist0)
+    return out[:, 0, :num_samples]
+
+
 @functools.partial(
     jax.jit, static_argnames=("num_samples", "skip_origin", "interpret")
 )

@@ -141,6 +141,60 @@ class TestOBS:
         assert (lab_of[:15] == 1).all()
         assert (lab_of[15:] == 2).all()  # 15 + remainder 1 = 16
 
+    def test_compacted_obs_matches_full_masked_fps(self, rng):
+        # the compaction + batched-FPS path must reproduce masked FPS over
+        # the full cloud whenever every object fits compact_cap (FPS is
+        # gather-invariant and compaction preserves index order)
+        from graspbalance_tpu.eval.obs import object_balance_indices
+
+        n = 400
+        pts = rng.random((2, n, 3), dtype=np.float32)
+        labels = np.zeros((2, n), np.int32)
+        labels[0, 30:120] = 1
+        labels[0, 150:170] = 2
+        labels[0, 200:390] = 3
+        labels[1, :250] = 2  # single object, batch row 2
+        got = np.asarray(object_balance_indices(
+            jnp.asarray(pts), jnp.asarray(labels),
+            num_seed=24, fps_cap=16, max_objects=4, compact_cap=256,
+        ))
+        # reference construction: full-cloud masked FPS per slot + quotas
+        for b in range(2):
+            present = [o for o in range(1, 5) if (labels[b] == o).any()]
+            k = len(present)
+            quota = {o: 24 // k for o in present}
+            quota[present[-1]] += 24 % k
+            pos = 0
+            for o in present:
+                seq = np.asarray(masked_fps(
+                    jnp.asarray(pts[b]), jnp.asarray(labels[b] == o), 16
+                ))
+                for j in range(quota[o]):
+                    assert got[b, pos] == seq[j % 16], (b, o, pos)
+                    pos += 1
+
+    def test_compact_cap_overflow_strided(self, rng):
+        # an object larger than compact_cap: seeds still come from that
+        # object, quota counts unchanged, pool uniformly index-strided
+        from graspbalance_tpu.eval.obs import _compact_mask
+
+        n = 500
+        pts = rng.random((n, 3), dtype=np.float32)
+        mask = np.zeros(n, bool)
+        mask[17:417] = True  # 400 points, cap 128
+        cxyz, table, cvalid = _compact_mask(
+            jnp.asarray(pts), jnp.asarray(mask), 128
+        )
+        table = np.asarray(table)
+        assert np.asarray(cvalid).sum() == 128
+        assert table[0] == 17  # first masked point kept (stable seed)
+        assert mask[table[:128]].all()  # every kept point is masked
+        assert (np.diff(table[:128]) > 0).all()  # index order preserved
+        # uniform stride: gaps differ by at most 1 quantization step
+        gaps = np.diff(table[:128])
+        assert gaps.min() >= 3 and gaps.max() <= 4
+        np.testing.assert_allclose(np.asarray(cxyz)[:128], pts[table[:128]])
+
     def test_foreground_sampling(self, rng):
         pts = rng.random((1, 80, 3), dtype=np.float32)
         fg = np.zeros((1, 80), bool)

@@ -233,6 +233,33 @@ class TestKNN:
             _, iwant = oracles.knn_oracle(known[b], unknown[b], 3)
             np.testing.assert_array_equal(np.asarray(idx)[b], iwant)
 
+    def test_knn_exact_matches_topk(self, rng):
+        # the argmin-pass 'exact' impl must equal the full sort, including
+        # tie order (both prefer the lower index on equal distances)
+        ref = random_cloud(rng, 2, 200)
+        query = random_cloud(rng, 2, 64)
+        for k in (3, 16):
+            de, ie = ops.knn(jnp.asarray(ref), jnp.asarray(query), k, method="exact")
+            dt, it = ops.knn(jnp.asarray(ref), jnp.asarray(query), k, method="topk")
+            np.testing.assert_array_equal(np.asarray(ie), np.asarray(it))
+            np.testing.assert_allclose(np.asarray(de), np.asarray(dt), rtol=1e-6)
+        # k > 32: 'exact' falls back to the sort — same API, same results
+        de, ie = ops.knn(jnp.asarray(ref), jnp.asarray(query), 40, method="exact")
+        dt, it = ops.knn(jnp.asarray(ref), jnp.asarray(query), 40, method="topk")
+        np.testing.assert_array_equal(np.asarray(ie), np.asarray(it))
+
+    def test_knn_exact_ties(self):
+        # duplicated reference points: tie must resolve to the lower index
+        ref = np.zeros((1, 8, 3), np.float32)
+        ref[0, :, 0] = [0.0, 1.0, 1.0, 2.0, 2.0, 2.0, 3.0, 0.0]
+        query = np.zeros((1, 2, 3), np.float32)
+        query[0, 1, 0] = 2.0
+        _, idx = ops.knn(jnp.asarray(ref), jnp.asarray(query), 4, method="exact")
+        _, idxt = ops.knn(jnp.asarray(ref), jnp.asarray(query), 4, method="topk")
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(idxt))
+        np.testing.assert_array_equal(np.asarray(idx)[0, 0], [0, 7, 1, 2])
+        np.testing.assert_array_equal(np.asarray(idx)[0, 1], [3, 4, 5, 1])
+
     def test_knn1_masked(self, rng):
         ref = random_cloud(rng, 1, 20)
         query = ref.copy()
@@ -482,6 +509,59 @@ class TestPallasInterpret:
         for b in range(3):
             want = oracles.fps_oracle(pts[b], 40)
             np.testing.assert_array_equal(got[b], want)
+
+    def test_fps_pallas_2d_batched_masked_interpret(self, rng):
+        # masked kernel vs the XLA masked scan: identical selection
+        # sequences incl. seed = first valid index, an exhausted row
+        # (fewer valid points than samples) and an all-invalid row
+        from graspbalance_tpu.ops.fps import _masked_fps_single_xla
+        from graspbalance_tpu.ops.pallas.fps_kernel import (
+            fps_pallas_2d_batched_masked,
+        )
+
+        pts = random_cloud(rng, 4, 300)
+        valid = np.zeros((4, 300), bool)
+        valid[0, 37:260] = True
+        valid[1] = rng.random(300) < 0.4
+        valid[2, 100:110] = True  # only 10 valid points, 40 samples
+        # row 3: nothing valid -> all-zero indices
+        got = np.asarray(
+            fps_pallas_2d_batched_masked(
+                jnp.asarray(pts), jnp.asarray(valid), 40, interpret=True
+            )
+        )
+        for b in range(3):
+            want = np.asarray(
+                _masked_fps_single_xla(jnp.asarray(pts[b]), jnp.asarray(valid[b]), 40)
+            )
+            np.testing.assert_array_equal(got[b], want)
+        np.testing.assert_array_equal(got[3], np.zeros(40, np.int32))
+
+    def test_fps_pallas_masked_max_needed_phase_skip(self, rng):
+        # max_needed skips whole 128-step phases: first max_needed samples
+        # match the scan, the skipped phase's slots are zeros
+        from graspbalance_tpu.ops.fps import _masked_fps_single_xla
+        from graspbalance_tpu.ops.pallas.fps_kernel import (
+            fps_pallas_2d_batched_masked,
+        )
+
+        pts = random_cloud(rng, 2, 300)
+        valid = rng.random((2, 300)) < 0.7
+        got = np.asarray(
+            fps_pallas_2d_batched_masked(
+                jnp.asarray(pts), jnp.asarray(valid), 200,
+                max_needed=jnp.int32(100), interpret=True,
+            )
+        )
+        for b in range(2):
+            want = np.asarray(
+                _masked_fps_single_xla(
+                    jnp.asarray(pts[b]), jnp.asarray(valid[b]), 200
+                )
+            )
+            np.testing.assert_array_equal(got[b, :100], want[:100])
+        # phase 2 (slots 128:200) was skipped entirely
+        np.testing.assert_array_equal(got[:, 128:], 0)
 
     def test_fps_pallas_2d_batched_multiphase(self, rng):
         # num_samples > 128 exercises the phase-buffer flush path

@@ -164,7 +164,7 @@ def main():
     elif target == "dsnpath":
         from graspbalance_tpu.models.dsn import DSN, cluster
 
-        dsn = DSN(knn_method="approx")  # benchmark speed mode (opt-in; default is exact)
+        dsn = DSN()  # exact kNN default (argmin impl, as fast as approx)
         dv = jax.jit(lambda r, c: dsn.init(r, c, train=False))(
             jax.random.PRNGKey(1), cloud[:1])
 
@@ -184,7 +184,7 @@ def main():
         model = build_model(cfg)
         v = jax.jit(lambda r, b: model.init(r, b, train=False))(
             jax.random.PRNGKey(0), {"point_clouds": cloud[:1]})
-        dsn = DSN(knn_method="approx")  # run_all config-2 speed mode
+        dsn = DSN()  # exact kNN default (argmin impl, as fast as approx)
         dv = jax.jit(lambda r, c: dsn.init(r, c, train=False))(
             jax.random.PRNGKey(1), cloud[:1])
 
