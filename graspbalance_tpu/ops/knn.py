@@ -18,6 +18,27 @@ import jax.numpy as jnp
 from jax import lax
 
 
+def _use_knn_kernel() -> bool:
+    """Fused Pallas k-argmin kernel on TPU backends (GB_NO_KNN_KERNEL=1
+    opts out to the XLA per-pass-recompute lowering for A/B)."""
+    import os
+
+    if os.environ.get("GB_NO_KNN_KERNEL"):
+        return False
+    return jax.default_backend() == "tpu"
+
+
+def _knn_dispatches_kernel(method: str, k: int, r: int) -> bool:
+    """Kernel dispatch bounds measured on v5e (2026-08-18): the VMEM-resident
+    distance tile pays off once enough argmin passes reuse it (k=16 at
+    R=2048: 4.4 vs 10.3 ms XLA); at small k the recompute it elides is
+    cheap and the serialized grid loses (k=3: 15.9 vs 7.2 — see three_nn).
+    Large reference sets force short query tiles to keep the (tq, R) tile
+    in VMEM (knn_kernel._fit_tq), multiplying serialized grid steps — the
+    measured-win regime is R <= 2048; stay on XLA beyond 4096."""
+    return method == "exact" and 8 <= k <= 32 and r <= 4096 and _use_knn_kernel()
+
+
 def _pairwise_d2(query: jnp.ndarray, ref: jnp.ndarray) -> jnp.ndarray:
     """(Q, C), (R, C) -> (Q, R) squared euclidean distances."""
     delta = query[:, None, :] - ref[None, :, :]
@@ -54,13 +75,18 @@ def knn(
     """k nearest reference points per query.
 
     method:
-      'exact'  — k masked argmin passes over the fused delta-form (Q, R)
-        distance matrix (the same structure that makes three_nn ~9x faster
-        than a sort on TPU; XLA recomputes the fused d2 per pass and never
-        materializes the matrix). Results are identical to a full sort,
-        including tie order: argmin and lax.top_k both prefer the lower
-        index on equal distances. Only sensible for small k (the DSN
-        point-transformer uses k=16, the DRP knn grouper k<=64).
+      'exact'  — k masked argmin passes over the delta-form (Q, R) distance
+        matrix (the same structure that makes three_nn ~9x faster than a
+        sort on TPU). On TPU backends at 8 <= k <= 32 this runs the fused
+        Pallas kernel (ops/pallas/knn_kernel.py): the distance tile is
+        computed ONCE into VMEM and all k passes scan it there, instead of
+        XLA's per-pass fused recompute (GB_NO_KNN_KERNEL=1 restores the XLA
+        lowering; below k=8 the recompute is cheaper than the kernel's
+        serialized grid — measured at k=3, see three_nn).
+        Results are identical to a full sort, including tie order: argmin
+        and lax.top_k both prefer the lower index on equal distances. Only
+        sensible for small k (the DSN point-transformer uses k=16, the DRP
+        knn grouper k<=64).
       'topk'   — lax.top_k, i.e. a full per-row sort on TPU; the previous
         'exact' implementation, kept for A/B measurement.
       'approx' — the TPU approximate-top-k unit (recall < 1.0), used by the
@@ -71,6 +97,10 @@ def knn(
     Returns: (dist, idx) with dist (B, Q, k) euclidean distances (sqrt'd) and
     idx (B, Q, k) int32, nearest first.
     """
+    if _knn_dispatches_kernel(method, k, ref.shape[1]):
+        from graspbalance_tpu.ops.pallas.knn_kernel import knn_pallas
+
+        return knn_pallas(query, ref, k)
 
     def single(q, r):
         d2 = _pairwise_d2(q, r)
@@ -108,7 +138,16 @@ def three_nn(
     like the CUDA kernel's strict-< update (interpolate_gpu.cu:25-50).
 
     impl:
-      'exact' (= 'auto') — three masked argmin passes over the delta-form
+      'auto' (= 'exact') — the XLA argmin passes. The fused Pallas kernel
+        ('pallas') measured 2.2x SLOWER here (15.9 vs 7.2 ms at
+        (4, 20000, 1024), v5e 2026-08-18): at k=3 the per-pass d2 recompute
+        the kernel elides is cheap, and the kernel's serialized grid loses
+        to XLA's fused pipeline — the opposite trade from knn's k=16.
+      'pallas' — the fused k-argmin kernel (ops/pallas/knn_kernel.py):
+        distance tile computed once into VMEM, 3 argmin passes scan it
+        there (no per-pass recompute, no HBM materialization). Bit-exact;
+        kept for A/B.
+      'exact' — three masked argmin passes over the delta-form
         (N, M) distance matrix; bit-matches the reference semantics, and is
         ~9x faster than a k=3 lax.top_k full sort on TPU. XLA recomputes
         the fused delta-form per pass and never materializes the matrix.
@@ -130,6 +169,10 @@ def three_nn(
     """
     if impl == "auto":
         impl = "exact"
+    if impl == "pallas":
+        from graspbalance_tpu.ops.pallas.knn_kernel import knn_pallas
+
+        return knn_pallas(unknown, known, 3)
 
     def pick3(cur, iota):
         idxs = []
