@@ -112,13 +112,19 @@ def main():
 
             @jax.jit
             def f2(v, dv, c, key):
-                seg = dsn.apply(dv, c, train=False)
+                # one FPS feeds both backbones (nested-prefix property;
+                # same sharing as eval/pipeline.py GraspInference)
+                from graspbalance_tpu import ops
+
+                sa_inds = ops.furthest_point_sample(c[..., :3], 2048)
+                seg = dsn.apply(dv, c, sa_inds=sa_inds, train=False)
                 fg = jnp.argmax(seg["foreground_logits"], axis=-1) == 1
                 labels, _, _ = cluster(
                     c[..., :3], seg["center_offsets"], fg, key
                 )
                 ep = model.apply(
-                    v, {"point_clouds": c, "seed_cluster": labels},
+                    v, {"point_clouds": c, "seed_cluster": labels,
+                        "sa_inds": sa_inds},
                     train=False,
                 )
                 return jnp.sum(ep["grasp_score_pred"])
@@ -172,6 +178,40 @@ def main():
 
             dt, p50 = timed(run)
             record(results, f"train_step_bs{bs}", dt, p50, bs)
+
+            # production training config: whole-model bf16 compute (params,
+            # BN stats and the loss stay f32). A documented non-parity knob
+            # (cfg.model.dtype; convergence verified over 250-step synthetic
+            # runs, docs/NOTES.md round 3) — reported alongside the f32
+            # parity default, which stays the headline train number.
+            import dataclasses
+
+            cfg_bf16 = Config()
+            cfg_bf16 = dataclasses.replace(
+                cfg_bf16, model=dataclasses.replace(cfg_bf16.model, dtype="bfloat16")
+            )
+            model_bf = ts.build_model(cfg_bf16)
+            mv_bf = jax.jit(lambda r, b: model_bf.init(r, b, train=True))(
+                jax.random.PRNGKey(0),
+                {k: x[:1] for k, x in batch.items()},
+            )
+            tx_bf = ts.make_optimizer(cfg_bf16, steps_per_epoch=100)
+            state_bf = ts.TrainState(
+                step=jnp.zeros((), jnp.int32),
+                params=mv_bf["params"],
+                batch_stats=mv_bf.get("batch_stats", {}),
+                opt_state=tx_bf.init(mv_bf["params"]),
+                tx=tx_bf,
+            )
+            step_bf = ts.make_train_step(model_bf, cfg_bf16)
+
+            def run_bf():
+                nonlocal state_bf
+                state_bf, metrics = step_bf(state_bf, batch, jnp.int32(0))
+                return float(metrics["loss/overall_loss"])
+
+            dt, p50 = timed(run_bf)
+            record(results, f"train_step_bs{bs}_bf16_production", dt, p50, bs)
         if 5 in which:
             t0 = time.perf_counter()
             for i in range(args.loop_steps):

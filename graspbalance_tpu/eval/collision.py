@@ -80,29 +80,9 @@ def voxel_downsample_fixed(
     return centroids, out_valid
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("return_empty_grasp", "return_ious"),
-)
-def collision_detect(
-    scene_points: jnp.ndarray,
-    grasps: jnp.ndarray,
-    *,
-    scene_valid: jnp.ndarray | None = None,
-    voxel_size: float = 0.005,
-    approach_dist: float = 0.03,
-    collision_thresh: float = 0.05,
-    empty_thresh: float = 0.01,
-    return_empty_grasp: bool = False,
-    return_ious: bool = False,
-):
-    """scene_points (N,3) voxel-downsampled scene; grasps (G,17) decoded rows
-    [score,width,height,depth,rot9,center3,obj_id]; scene_valid optional
-    (N,) mask for padded scenes.
-
-    Returns collision mask (G,) bool (+ optional empty mask / iou tuple).
-    """
-    approach_dist = max(approach_dist, FINGER_WIDTH)
+def _collision_counts_xla(scene_points, grasps, scene_valid, approach_dist):
+    """(N,3), (G,17)[, (N,)] -> (6,) tuple of (G,) occupancy counts
+    [left, right, bottom, shifting, overall, inner] — the fused-XLA path."""
     widths = grasps[:, 1:2]
     heights = grasps[:, 2:3]
     depths = grasps[:, 3:4]
@@ -134,6 +114,7 @@ def collision_detect(
     bottom = m_height & m_left_out & m_right_out & m_bottom
     shifting = m_height & m_left_out & m_right_out & m_shift
     overall = left | right | bottom | shifting
+    inner = m_height & m_depth & (~m_left_in) & (~m_right_in)
     if scene_valid is not None:
         keep = scene_valid[None, :]
         left &= keep
@@ -141,32 +122,100 @@ def collision_detect(
         bottom &= keep
         shifting &= keep
         overall &= keep
+        inner &= keep
+    return tuple(
+        jnp.sum(m, axis=1).astype(jnp.float32)
+        for m in (left, right, bottom, shifting, overall, inner)
+    )
+
+
+def _collision_kernel_ok() -> bool:
+    import os
+
+    if os.environ.get("GB_NO_COLLISION_KERNEL"):
+        return False
+    return jax.default_backend() == "tpu"
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("return_empty_grasp", "return_ious", "impl"),
+)
+def collision_detect(
+    scene_points: jnp.ndarray,
+    grasps: jnp.ndarray,
+    *,
+    scene_valid: jnp.ndarray | None = None,
+    voxel_size: float = 0.005,
+    approach_dist: float = 0.03,
+    collision_thresh: float = 0.05,
+    empty_thresh: float = 0.01,
+    return_empty_grasp: bool = False,
+    return_ious: bool = False,
+    impl: str = "auto",
+):
+    """scene_points (N,3) voxel-downsampled scene; grasps (G,17) decoded rows
+    [score,width,height,depth,rot9,center3,obj_id]; scene_valid optional
+    (N,) mask for padded scenes.
+
+    impl: 'auto' (Pallas count kernel on TPU, fused XLA elsewhere;
+    GB_NO_COLLISION_KERNEL=1 forces XLA) | 'xla' | 'pallas'. Both compute
+    the same comparisons; the kernel keeps the (G, N) coordinate planes
+    VMEM-resident instead of streaming ~25 boolean planes through HBM.
+
+    Returns collision mask (G,) bool (+ optional empty mask / iou tuple).
+    """
+    approach_dist = max(approach_dist, FINGER_WIDTH)
+    widths = grasps[:, 1:2]
+    heights = grasps[:, 2:3]
+
+    if impl == "auto":
+        impl = "pallas" if _collision_kernel_ok() else "xla"
+    if impl == "pallas":
+        from graspbalance_tpu.ops.pallas.collision_kernel import (
+            collision_counts_pallas,
+            pack_grasp_params,
+        )
+
+        params = pack_grasp_params(
+            grasps, approach_dist, FINGER_WIDTH, FINGER_LENGTH
+        )
+        sv = (
+            scene_valid
+            if scene_valid is not None
+            else jnp.ones((scene_points.shape[0],), bool)
+        )
+        counts = collision_counts_pallas(scene_points, sv, params)
+        n_left, n_right, n_bottom, n_shift, n_overall, n_inner = (
+            counts[:, i] for i in range(6)
+        )
+    else:
+        (n_left, n_right, n_bottom, n_shift, n_overall, n_inner) = (
+            _collision_counts_xla(scene_points, grasps, scene_valid, approach_dist)
+        )
 
     v3 = voxel_size ** 3
     lr_vol = (heights * FINGER_LENGTH * FINGER_WIDTH / v3)[:, 0]
     bottom_vol = (heights * (widths + 2 * FINGER_WIDTH) * FINGER_WIDTH / v3)[:, 0]
     shift_vol = (heights * (widths + 2 * FINGER_WIDTH) * approach_dist / v3)[:, 0]
     volume = lr_vol * 2 + bottom_vol + shift_vol
-    global_iou = jnp.sum(overall, axis=1) / (volume + 1e-6)
+    global_iou = n_overall / (volume + 1e-6)
     collision = global_iou > collision_thresh
 
     if not (return_empty_grasp or return_ious):
         return collision
     out = [collision]
     if return_empty_grasp:
-        inner = m_height & m_depth & (~m_left_in) & (~m_right_in)
-        if scene_valid is not None:
-            inner &= scene_valid[None, :]
         inner_vol = (heights * FINGER_LENGTH * widths / v3)[:, 0]
-        out.append(jnp.sum(inner, axis=1) / jnp.maximum(inner_vol, 1e-6) < empty_thresh)
+        out.append(n_inner / jnp.maximum(inner_vol, 1e-6) < empty_thresh)
     if return_ious:
         out.append(
             (
                 global_iou,
-                jnp.sum(left, axis=1) / (lr_vol + 1e-6),
-                jnp.sum(right, axis=1) / (lr_vol + 1e-6),
-                jnp.sum(bottom, axis=1) / (bottom_vol + 1e-6),
-                jnp.sum(shifting, axis=1) / (shift_vol + 1e-6),
+                n_left / (lr_vol + 1e-6),
+                n_right / (lr_vol + 1e-6),
+                n_bottom / (bottom_vol + 1e-6),
+                n_shift / (shift_vol + 1e-6),
             )
         )
     return tuple(out)

@@ -51,14 +51,28 @@ class GraspInference:
         self._forward = _forward
 
         if self.use_obs:
+            # one FPS serves both networks: greedy FPS re-traces itself, so
+            # the DSN backbone's stage-0 sample and the model backbone's are
+            # prefixes of one run over the same cloud (the nested-prefix
+            # property tested in test_ops.py::TestFPS::test_prefix_property)
+            from graspbalance_tpu import ops
+            from graspbalance_tpu.models.drp import DRP_STAGES
+
+            n0_dsn = dsn.pt_stages[0][0]
+            n0_model = (getattr(model, "backbone_stages", None) or DRP_STAGES)[0][0]
+            n0 = max(n0_dsn, n0_model)
+
             @jax.jit
             def _segment(dsn_vars, cloud, rng):
-                ep = dsn.apply(dsn_vars, cloud, train=False)
+                sa_full = ops.furthest_point_sample(cloud[..., :3], n0)
+                ep = dsn.apply(
+                    dsn_vars, cloud, sa_inds=sa_full[:, :n0_dsn], train=False
+                )
                 fg = jnp.argmax(ep["foreground_logits"], axis=-1) == 1
                 labels, _, _ = cluster(
                     cloud[..., :3], ep["center_offsets"], fg, rng
                 )
-                return labels
+                return labels, sa_full[:, :n0_model]
 
             self._segment = _segment
 
@@ -85,7 +99,9 @@ class GraspInference:
         batch = {"point_clouds": cloud}
         if self.use_obs:
             rng = rng if rng is not None else jax.random.PRNGKey(0)
-            batch["seed_cluster"] = self._segment(self.dsn_variables, cloud, rng)
+            labels, sa_inds = self._segment(self.dsn_variables, cloud, rng)
+            batch["seed_cluster"] = labels
+            batch["sa_inds"] = sa_inds
         grasps, valid = self._forward(self.variables, batch)
         keep = self._postprocess(grasps, valid, cloud[..., :3])
         return np.asarray(grasps), np.asarray(keep)

@@ -40,9 +40,13 @@ class VectorAttention(nn.Module):
     knn_method: str = "exact"
 
     @nn.compact
-    def __call__(self, xyz, feats, *, train: bool, bn_momentum=0.1):
-        # (B, N, 3), (B, N, C)
-        _, idx = ops.knn(xyz, xyz, self.knn, method=self.knn_method)  # (B, N, K)
+    def __call__(self, xyz, feats, *, train: bool, bn_momentum=0.1, knn_idx=None):
+        # (B, N, 3), (B, N, C). knn_idx: optional precomputed (B, N, K)
+        # neighbor indices — blocks at the same resolution share one kNN
+        # (the search depends only on xyz, which is constant per stage).
+        if knn_idx is None:
+            _, knn_idx = ops.knn(xyz, xyz, self.knn, method=self.knn_method)
+        idx = knn_idx  # (B, N, K)
         c = self.channels
         q = nn.Dense(c, dtype=self.dtype, name="q")(feats)
         k = nn.Dense(c, dtype=self.dtype, name="k")(feats)
@@ -71,11 +75,11 @@ class PTBlock(nn.Module):
     knn_method: str = "exact"
 
     @nn.compact
-    def __call__(self, xyz, feats, *, train: bool, bn_momentum=0.1):
+    def __call__(self, xyz, feats, *, train: bool, bn_momentum=0.1, knn_idx=None):
         h = nn.LayerNorm(dtype=self.dtype, name="ln1")(feats)
         h = VectorAttention(self.channels, self.knn, self.dtype,
                             self.knn_method, name="attn")(
-            xyz, h, train=train, bn_momentum=bn_momentum
+            xyz, h, train=train, bn_momentum=bn_momentum, knn_idx=knn_idx
         )
         feats = feats + h
         h = nn.LayerNorm(dtype=self.dtype, name="ln2")(feats)
@@ -126,10 +130,16 @@ class PointTransformerSeg(nn.Module):
             )
             feats = jnp.max(pooled, axis=2)
             xyz = new_xyz
+            # one kNN per stage: every block at this resolution attends over
+            # the same xyz, so the neighbor search is shared
+            knn_idx = None
+            if n_blocks > 0:
+                _, knn_idx = ops.knn(xyz, xyz, self.knn, method=self.knn_method)
             for j in range(n_blocks):
                 feats = PTBlock(
                     channels, self.knn, self.dtype, self.knn_method,
                     name=f"block{i}_{j}"
-                )(xyz, feats, train=train, bn_momentum=bn_momentum)
+                )(xyz, feats, train=train, bn_momentum=bn_momentum,
+                  knn_idx=knn_idx)
         feats = nn.Dense(self.out_channels, dtype=self.dtype, name="proj")(feats)
         return {"seed_xyz": xyz, "seed_features": feats.astype(jnp.float32)}

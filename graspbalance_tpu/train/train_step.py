@@ -94,6 +94,17 @@ def make_optimizer(cfg: Config, steps_per_epoch: int) -> optax.GradientTransform
     tx = optax.adam(schedule)
     if t.weight_decay:
         tx = optax.chain(optax.add_decayed_weights(t.weight_decay), tx)
+    import os
+
+    flatten = t.opt_flatten
+    if "GB_OPT_FLATTEN" in os.environ:  # A/B override: "1" on, "" / "0" off
+        flatten = os.environ["GB_OPT_FLATTEN"] not in ("", "0")
+    if flatten:
+        # run Adam on one flat vector instead of ~490 per-tensor update ops:
+        # same elementwise math, measured 157.5 -> 146.3 ms on the bs=2 full
+        # step (v5e, tools/bench_opt_flatten.py, 2026-08-19). Changes the
+        # opt_state checkpoint layout (cfg.train.opt_flatten).
+        tx = optax.flatten(tx)
     return tx
 
 

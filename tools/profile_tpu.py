@@ -190,11 +190,13 @@ def main():
 
         @jax.jit
         def f(v, dv, c, key):
-            seg = dsn.apply(dv, c, train=False)
+            sa_inds = ops.furthest_point_sample(c[..., :3], 2048)
+            seg = dsn.apply(dv, c, sa_inds=sa_inds, train=False)
             fg = jnp.argmax(seg["foreground_logits"], axis=-1) == 1
             labels, _, _ = cluster(c[..., :3], seg["center_offsets"], fg, key)
             ep = model.apply(
-                v, {"point_clouds": c, "seed_cluster": labels}, train=False)
+                v, {"point_clouds": c, "seed_cluster": labels,
+                    "sa_inds": sa_inds}, train=False)
             return jnp.sum(ep["grasp_score_pred"])
 
         args = (v, dv, cloud, jax.random.PRNGKey(2))
