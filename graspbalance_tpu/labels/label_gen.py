@@ -42,10 +42,10 @@ from graspbalance_tpu.labels.geometry import (
 )
 
 
-def _process_single(seed_xyz, lbl):
-    """Per-sample gather program. seed_xyz (Ns,3); lbl = dict of padded
-    arrays (see module docstring). Returns dict of per-seed label tensors
-    with *raw* (unrescaled) scores."""
+def _geometry_single(seed_xyz, lbl):
+    """Shared per-sample geometry (steps 1-3 of the module docstring):
+    camera-frame label points, per-object transformed views/rotations,
+    view re-indexing, and the per-seed nearest label point."""
     poses = lbl["object_poses"]  # (O,3,4)
     rot_o = poses[:, :, :3]  # (O,3,3)
     trans_o = poses[:, :, 3]  # (O,3)
@@ -82,6 +82,28 @@ def _process_single(seed_xyz, lbl):
     seed_view_inds = view_inds[seed_obj]  # (Ns,V)
 
     grasp_point = pts_cam[nn_inds]  # (Ns,3)
+    return {
+        "nn_inds": nn_inds,
+        "seed_obj": seed_obj,
+        "seed_view_inds": seed_view_inds,
+        "grasp_point": grasp_point,
+        "views_cam": views_cam,
+        "views_rot_cam": views_rot_cam,
+    }
+
+
+def _process_single(seed_xyz, lbl):
+    """Per-sample gather program. seed_xyz (Ns,3); lbl = dict of padded
+    arrays (see module docstring). Returns dict of per-seed label tensors
+    with *raw* (unrescaled) scores."""
+    geo = _geometry_single(seed_xyz, lbl)
+    v = lbl["grasp_labels"].shape[1]
+    nn_inds = geo["nn_inds"]
+    seed_obj = geo["seed_obj"]
+    seed_view_inds = geo["seed_view_inds"]
+    views_cam = geo["views_cam"]
+    views_rot_cam = geo["views_rot_cam"]
+    grasp_point = geo["grasp_point"]
 
     # Per-seed view permutation as a one-hot einsum at HIGHEST precision:
     # bit-exact (an f32 value decomposes exactly into 3 bf16 terms, and a
@@ -118,9 +140,42 @@ def _process_single(seed_xyz, lbl):
     }
 
 
-def process_grasp_labels(seed_xyz: jnp.ndarray, labels: dict) -> dict:
+def _reduced_single(seed_xyz, lbl):
+    """Per-sample stage 1 of the reduced pipeline: geometry + seed-level
+    row gather of the raw label/width arrays + per-view raw maxima."""
+    geo = _geometry_single(seed_xyz, lbl)
+    lab = jnp.take(lbl["grasp_labels"], geo["nn_inds"], axis=0)  # (Ns,V,A,D)
+    wid = jnp.take(lbl["grasp_widths"], geo["nn_inds"], axis=0)
+    pvm_raw = jnp.max(lab, axis=(-2, -1))  # (Ns,V) ORIGINAL view order
+    return geo, lab, wid, pvm_raw
+
+
+def process_grasp_labels(
+    seed_xyz: jnp.ndarray, labels: dict, impl: str = "full"
+) -> dict:
     """Batched label generation. seed_xyz (B,Ns,3); labels: dict of batched
-    padded arrays. Returns the batch_grasp_* dict (scores log-rescaled)."""
+    padded arrays. Returns the batch_grasp_* dict (scores log-rescaled).
+
+    impl:
+      'full'    — materialize the view-permuted (B,Ns,V,A,D) label tensors
+                  (the reference's layout; what the parity tests compare).
+      'reduced' — never permute the big tensors. Every loss consumer of the
+                  permuted *_all tensors is a reduction that commutes with
+                  the per-seed view gather (see labels/losses.py), so this
+                  path emits only per-view maxima, the reweight target
+                  width, and the indices match_grasp_view_and_label needs
+                  to slice the top view straight out of the RAW arrays.
+                  Bit-exact with 'full' through get_loss (incl. argmax tie
+                  order: first permuted view attaining the global max, then
+                  first (a,d) attaining that view's max — exactly flattened
+                  argmax order), tested in tests/test_label_reduced.py.
+                  Skips the (Ns,V,V) one-hot einsums and the three permuted
+                  (B,Ns,V,A,D) materializations of the 'full' path.
+    """
+    if impl == "reduced":
+        return _process_grasp_labels_reduced(seed_xyz, labels)
+    if impl != "full":
+        raise ValueError(f"unknown label impl: {impl}")
     out = jax.vmap(_process_single)(seed_xyz, labels)
 
     raw = out["batch_grasp_label"]
@@ -135,14 +190,131 @@ def process_grasp_labels(seed_xyz: jnp.ndarray, labels: dict) -> dict:
     return out
 
 
+def _perm_views_flat_take(vals, svi):
+    """vals (B,Ns,V) -> vals[b,s,svi[b,s,v]] via a flat global-row take
+    (measured 3.3 vs 6.0 ms for take_along_axis at (2,1024,300) on v5e,
+    tools/bench_label_reduced_prims.py)."""
+    b, ns, v = vals.shape
+    base = jnp.arange(b * ns, dtype=jnp.int32).reshape(b, ns, 1) * v
+    return jnp.take(vals.reshape(-1), (base + svi).reshape(-1), axis=0).reshape(
+        b, ns, v
+    )
+
+
+def _process_grasp_labels_reduced(seed_xyz: jnp.ndarray, labels: dict) -> dict:
+    geo, lab, wid, pvm_raw = jax.vmap(_reduced_single)(seed_xyz, labels)
+    svi = geo["seed_view_inds"]  # (B,Ns,V) original-view index per template v
+
+    v, a, d = lab.shape[2], lab.shape[3], lab.shape[4]
+    ad = a * d
+    # u_max over the PERMUTED gathered labels (label_generation.py:113):
+    # the view gather may repeat/omit original views, so reduce the
+    # permuted per-view maxima, not the unpermuted tensor.
+    u_max = jnp.max(_perm_views_flat_take(pvm_raw, svi))
+
+    mask = jnp.logical_and(lab > 0, wid <= GRASP_MAX_WIDTH)
+    resc = jnp.where(mask, jnp.log(u_max / jnp.maximum(lab, 1e-12)), 0.0)
+    flat = resc.reshape(resc.shape[:3] + (ad,))  # (B,Ns,V,A*D)
+    pvm_resc = jnp.max(flat, axis=-1)  # per-view rescaled max, original order
+    parg = jnp.argmax(flat, axis=-1).astype(jnp.int32)  # first-(a,d)-of-max
+
+    # view_label = max over (A,D) of the permuted rescaled tensor
+    #            = permute of the per-view max (reduction over one view's
+    #              elements commutes with the view gather)
+    view_label = _perm_views_flat_take(pvm_resc, svi)  # (B,Ns,V)
+
+    # reweight target width (loss.py:29-41 semantics): the width at the
+    # flattened argmax of the permuted label — first permuted view
+    # attaining the global max (= argmax over view_label), then the first
+    # (a,d) attaining that view's max (= parg at the original view)
+    vstar = jnp.argmax(view_label, axis=-1)  # (B,Ns)
+    orig_vstar = jnp.take_along_axis(svi, vstar[..., None], axis=-1)[..., 0]
+    adstar = jnp.take_along_axis(parg, orig_vstar[..., None], axis=-1)[..., 0]
+    wflat = wid.reshape(wid.shape[:2] + (v * ad,))
+    target_w = jnp.take_along_axis(
+        wflat, (orig_vstar * ad + adstar)[..., None], axis=-1
+    )[..., 0]  # (B,Ns)
+
+    return {
+        "batch_grasp_point": geo["grasp_point"],
+        "batch_grasp_view_label": view_label,
+        "batch_grasp_target_width": target_w,
+        # private plumbing for match_grasp_view_and_label (top-view slicing
+        # from the seed-gathered tensors — NOT the raw (B,P,V,A,D) arrays:
+        # 192-byte random rows from those measured ~17 ms per array on v5e,
+        # tools/bench_label_reduced_prims.py); stripped from its output dict
+        "_reduced": {
+            "u_max": u_max,
+            "nn_inds": geo["nn_inds"],
+            "seed_obj": geo["seed_obj"],
+            "seed_view_inds": svi,
+            "views_cam": geo["views_cam"],
+            "views_rot_cam": geo["views_rot_cam"],
+            "lab_gathered": lab,
+            "wid_gathered": wid,
+            "grasp_tolerance": labels["grasp_tolerance"],
+        },
+    }
+
+
+def _vmapped_row_take(arr, rows):
+    """arr (B, R, ...), rows (B, Ns) int -> (B, Ns, ...); in-bounds rows."""
+    return jax.vmap(lambda a, r: jnp.take(a, r, axis=0))(arr, rows)
+
+
 def match_grasp_view_and_label(top_view_inds: jnp.ndarray, grasp_labels: dict) -> dict:
     """Gather per-seed labels at the predicted top view
     (label_generation.py:129-157).
 
     top_view_inds (B,Ns); grasp_labels: output of process_grasp_labels.
-    Returns dict with top-view slices plus the *_all full-view tensors the
-    loss reweighting needs.
+    Returns dict with top-view slices plus (full impl) the *_all full-view
+    tensors the loss reweighting needs; the reduced impl slices the top view
+    straight out of the raw label arrays and emits the precomputed reweight
+    target width instead (see process_grasp_labels impl='reduced').
     """
+    if "_reduced" in grasp_labels:
+        r = grasp_labels["_reduced"]
+        svi = r["seed_view_inds"]  # (B,Ns,V)
+        v = svi.shape[-1]
+        top = top_view_inds.astype(jnp.int32)
+        # original-view index of the predicted top template view
+        orig_top = jnp.take_along_axis(svi, top[..., None], axis=-1)[..., 0]
+
+        # top-view (A,D) slab out of the seed-gathered (B,Ns,V,A,D) tensors
+        def top_slab(arr):
+            ix = orig_top[..., None, None, None]
+            return jnp.take_along_axis(arr, ix, axis=2)[:, :, 0]
+
+        lab_top = top_slab(r["lab_gathered"])  # (B,Ns,A,D) raw
+        wid_top = top_slab(r["wid_gathered"])
+        # tolerance has no full-view consumer: seed-gather it here only
+        tol_g = jax.vmap(lambda a, rr: jnp.take(a, rr, axis=0))(
+            r["grasp_tolerance"], r["nn_inds"]
+        )
+        tol_top = top_slab(tol_g)
+        mask = jnp.logical_and(lab_top > 0, wid_top <= GRASP_MAX_WIDTH)
+        lab_top = jnp.where(
+            mask, jnp.log(r["u_max"] / jnp.maximum(lab_top, 1e-12)), 0.0
+        )
+
+        rows_ov = r["seed_obj"] * v + orig_top  # (B,Ns) into (O*V)
+
+        def obj_view_take(arr):  # (B, O, V, ...) -> (B, Ns, ...)
+            b, o = arr.shape[:2]
+            flat = arr.reshape((b, o * v) + arr.shape[3:])
+            return _vmapped_row_take(flat, rows_ov)
+
+        return {
+            "batch_grasp_view_rot": obj_view_take(r["views_rot_cam"]),
+            "batch_grasp_view": obj_view_take(r["views_cam"]),
+            "batch_grasp_label": lab_top,
+            "batch_grasp_width": wid_top,
+            "batch_grasp_tolerance": tol_top,
+            "batch_grasp_point": grasp_labels["batch_grasp_point"],
+            "batch_grasp_view_label": grasp_labels["batch_grasp_view_label"],
+            "batch_grasp_target_width": grasp_labels["batch_grasp_target_width"],
+        }
+
     idx = top_view_inds[..., None]
 
     def at_top(arr, extra_dims):

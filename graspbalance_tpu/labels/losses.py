@@ -45,20 +45,10 @@ def _masked_mean(values, mask, eps: float = 1e-6):
     return jnp.sum(values * m) / (jnp.sum(m) + eps)
 
 
-def generate_reweight_mask(label_all, width_all):
-    """Per-seed scale-prior weight (loss.py:29-41).
-
-    label_all/width_all (B,Ns,V,A,D); the target width is the width at the
-    globally best (argmax over V*A*D) label per seed, binned into the 32
-    scale intervals with strict inequalities (out-of-range -> bin 0).
-    Returns (B,Ns) float32.
-    """
-    b, ns = label_all.shape[:2]
-    flat_lab = label_all.reshape(b, ns, -1)
-    flat_wid = width_all.reshape(b, ns, -1)
-    inds = jnp.argmax(flat_lab, axis=2, keepdims=True)
-    target_w = jnp.take_along_axis(flat_wid, inds, axis=2).squeeze(2)  # (B,Ns)
-
+def reweight_from_target_width(target_w):
+    """Scale-prior weight from the per-seed target width (loss.py:33-41):
+    bin into the 32 scale intervals with strict inequalities (out-of-range
+    -> bin 0) and index the inverse-log prior. target_w (B,Ns) -> (B,Ns)."""
     lo = jnp.asarray(SCALE_BIN_EDGES[:-1], jnp.float32)
     hi = jnp.asarray(SCALE_BIN_EDGES[1:], jnp.float32)
     w = target_w[..., None]
@@ -72,21 +62,38 @@ def generate_reweight_mask(label_all, width_all):
     return prior[bin_id]
 
 
-def _graspable_label(label_all, seed_objectness):
+def generate_reweight_mask(label_all, width_all):
+    """Per-seed scale-prior weight (loss.py:29-41).
+
+    label_all/width_all (B,Ns,V,A,D); the target width is the width at the
+    globally best (argmax over V*A*D) label per seed, binned into the 32
+    scale intervals with strict inequalities (out-of-range -> bin 0).
+    Returns (B,Ns) float32.
+    """
+    b, ns = label_all.shape[:2]
+    flat_lab = label_all.reshape(b, ns, -1)
+    flat_wid = width_all.reshape(b, ns, -1)
+    inds = jnp.argmax(flat_lab, axis=2, keepdims=True)
+    target_w = jnp.take_along_axis(flat_wid, inds, axis=2).squeeze(2)  # (B,Ns)
+    return reweight_from_target_width(target_w)
+
+
+def _graspable_label(per_view, seed_objectness):
     """'Robust' graspable label (loss.py:62-65): positive iff the seed lies
-    on an object AND more than 10 views have a label above THRESH_BAD."""
-    per_view = jnp.max(label_all, axis=(-2, -1))  # (B,Ns,V)
+    on an object AND more than 10 views have a label above THRESH_BAD.
+    per_view (B,Ns,V) = max over (A,D) of the rescaled label
+    (= batch_grasp_view_label)."""
     cnt = jnp.sum(per_view > THRESH_BAD, axis=-1)  # (B,Ns)
     return (cnt > 10).astype(jnp.int32) * seed_objectness
 
 
-def compute_robust_graspable_loss(objectness_score, label_all, seed_objectness):
+def compute_robust_graspable_loss(objectness_score, per_view, seed_objectness):
     """CE objectness loss + acc/prec/recall metrics (loss.py:54-75).
 
-    objectness_score (B,Ns,2); label_all (B,Ns,V,A,D) rescaled;
-    seed_objectness (B,Ns) int.
+    objectness_score (B,Ns,2); per_view (B,Ns,V) per-view max of the
+    rescaled label; seed_objectness (B,Ns) int.
     """
-    graspable = _graspable_label(label_all, seed_objectness)
+    graspable = _graspable_label(per_view, seed_objectness)
     ce = _softmax_ce(objectness_score, graspable)
     loss = jnp.mean(ce)
     pred = jnp.argmax(objectness_score, axis=-1)
@@ -201,7 +208,9 @@ def get_loss(end_points: dict) -> tuple[jnp.ndarray, dict]:
     """Total multi-task loss (loss.py:44-51).
 
     Requires in end_points: objectness_score, view_score, grasp_*_pred,
-    batch_grasp_* (incl. *_all), objectness_label (B,N), fp2_inds (B,Ns).
+    batch_grasp_* (either *_all tensors from the full label impl, or
+    batch_grasp_target_width from the reduced impl — same values either
+    way), objectness_label (B,N), fp2_inds (B,Ns).
     """
     seed_objectness = jnp.take_along_axis(
         end_points["objectness_label"].astype(jnp.int32),
@@ -209,12 +218,21 @@ def get_loss(end_points: dict) -> tuple[jnp.ndarray, dict]:
         axis=1,
     )  # (B,Ns)
 
-    label_all = end_points["batch_grasp_label_all"]
-    width_all = end_points["batch_grasp_width_all"]
-    weight_mask = generate_reweight_mask(label_all, width_all)
+    if "batch_grasp_target_width" in end_points:
+        weight_mask = reweight_from_target_width(
+            end_points["batch_grasp_target_width"]
+        )
+    else:
+        weight_mask = generate_reweight_mask(
+            end_points["batch_grasp_label_all"],
+            end_points["batch_grasp_width_all"],
+        )
+    # per-view max of the rescaled label == batch_grasp_view_label exactly
+    # (max over one view's (A,D) elements commutes with the view gather)
+    per_view = end_points["batch_grasp_view_label"]
 
     objectness_loss, graspable, m1 = compute_robust_graspable_loss(
-        end_points["objectness_score"], label_all, seed_objectness
+        end_points["objectness_score"], per_view, seed_objectness
     )
     view_loss, m2 = compute_weighted_view_loss(
         end_points["view_score"],

@@ -63,6 +63,11 @@ class GraspBalance(nn.Module):
     # a measured 1.8x win on v5e (16.3 -> 9.1 ms bs=4) while bf16 for the
     # backbone measured SLOWER; non-parity speed knob, f32 default.
     width_mlp_dtype: jnp.dtype | None = None
+    # 'reduced' skips the view-permuted (B,Ns,V,A,D) label materializations
+    # (bit-exact through get_loss, tests/test_label_reduced.py; lower
+    # memory, measured perf-neutral — docs/NOTES.md); 'full' keeps the
+    # reference layout in end_points (*_all tensors) and is the default.
+    label_impl: str = "full"
 
     @nn.compact
     def __call__(
@@ -136,7 +141,9 @@ class GraspBalance(nn.Module):
         )
 
         if match:
-            grasp_labels = process_grasp_labels(seed_xyz, batch)
+            grasp_labels = process_grasp_labels(
+                seed_xyz, batch, impl=self.label_impl
+            )
             matched = match_grasp_view_and_label(
                 ep["grasp_top_view_inds"], grasp_labels
             )

@@ -23,6 +23,13 @@ class ModelConfig:
     # stage-2 scale-MLP compute dtype (None = follow `dtype`): bf16 is a
     # measured 1.8x on these MLPs on v5e while leaving the rest f32
     width_mlp_dtype: str | None = None
+    # label pipeline: 'full' (reference layout in end_points; default — the
+    # one-hot einsum path measured equal-or-faster) | 'reduced' (bit-exact
+    # through the loss, skips the view-permuted (B,Ns,V,A,D)
+    # materializations; ~1.4 GB/step less live memory at bs=8 but
+    # perf-neutral at bs=8 and -4% at bs=2, docs/NOTES.md).
+    # GB_LABEL_IMPL env overrides for A/B.
+    label_impl: str = "full"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -31,8 +31,11 @@ class TrainState(struct.PyTreeNode):
 
 
 def build_model(cfg: Config) -> GraspBalance:
+    import os
+
     m = cfg.model
     return GraspBalance(
+        label_impl=os.environ.get("GB_LABEL_IMPL", m.label_impl),
         num_view=m.num_view,
         num_angle=m.num_angle,
         num_depth=m.num_depth,
