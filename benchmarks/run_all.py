@@ -37,15 +37,31 @@ def timed(fn, iters=5):
     return sum(times) / iters, statistics.median(times)
 
 
-def record(results, name, dt, p50, bs):
-    results.append(
-        {
-            "config": name,
-            "ms": round(dt * 1e3, 2),
-            "clouds_per_sec": round(bs / dt, 2),
-            "p50_scene_ms": round(p50 / bs * 1e3, 2),
-        }
-    )
+def timed_pipelined(dispatch, force, iters=10):
+    """Steady-load throughput: enqueue `iters` dispatches, force once at the
+    end — amortizes the ~24 ms axon-tunnel round trip the way a local TPU
+    host amortizes dispatch latency under load (same methodology as
+    bench.py's headline, method="pipelined")."""
+    force(dispatch())  # compile/warmup
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(iters):
+        out = dispatch()
+    force(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def record(results, name, dt, p50, bs, dt_pipelined=None):
+    row = {
+        "config": name,
+        "ms": round(dt * 1e3, 2),
+        "clouds_per_sec": round(bs / dt, 2),
+        "p50_scene_ms": round(p50 / bs * 1e3, 2),
+    }
+    if dt_pipelined is not None:
+        row["ms_pipelined"] = round(dt_pipelined * 1e3, 2)
+        row["clouds_per_sec_pipelined"] = round(bs / dt_pipelined, 2)
+    results.append(row)
 
 
 def main():
@@ -87,7 +103,8 @@ def main():
             lambda v, c: jnp.sum(drp.apply(v, c, train=False)["fp2_features"])
         )
         dt, p50 = timed(lambda: float(f(v, cloud)))
-        record(results, "backbone_forward_bs1", dt, p50, 1)
+        dt_p = timed_pipelined(lambda: f(v, cloud), float)
+        record(results, "backbone_forward_bs1", dt, p50, 1, dt_p)
 
     if 2 in which or 3 in which:
         cfg = Config()
@@ -131,7 +148,8 @@ def main():
 
             key = jax.random.PRNGKey(2)
             dt, p50 = timed(lambda: float(f2(v, dv, cloud, key)))
-            record(results, "full_forward_dsn_obs_bs4", dt, p50, bs)
+            dt_p = timed_pipelined(lambda: f2(v, dv, cloud, key), float)
+            record(results, "full_forward_dsn_obs_bs4", dt, p50, bs, dt_p)
         if 3 in which:
             @jax.jit
             def f3(v, c):
@@ -148,7 +166,8 @@ def main():
                 return jnp.sum(grasps) + jnp.sum(keep)
 
             dt, p50 = timed(lambda: float(f3(v, cloud)))
-            record(results, "e2e_inference_bs4", dt, p50, bs)
+            dt_p = timed_pipelined(lambda: f3(v, cloud), float)
+            record(results, "e2e_inference_bs4", dt, p50, bs, dt_p)
 
     if 4 in which or 5 in which:
         cfg = Config()
@@ -177,7 +196,14 @@ def main():
                 return float(metrics["loss/overall_loss"])
 
             dt, p50 = timed(run)
-            record(results, f"train_step_bs{bs}", dt, p50, bs)
+
+            def dispatch():
+                nonlocal state
+                state, metrics = step_fn(state, batch, jnp.int32(0))
+                return metrics["loss/overall_loss"]
+
+            dt_p = timed_pipelined(dispatch, float)
+            record(results, f"train_step_bs{bs}", dt, p50, bs, dt_p)
 
             # production training config: whole-model bf16 compute (params,
             # BN stats and the loss stay f32). A documented non-parity knob
@@ -211,7 +237,16 @@ def main():
                 return float(metrics["loss/overall_loss"])
 
             dt, p50 = timed(run_bf)
-            record(results, f"train_step_bs{bs}_bf16_production", dt, p50, bs)
+
+            def dispatch_bf():
+                nonlocal state_bf
+                state_bf, metrics = step_bf(state_bf, batch, jnp.int32(0))
+                return metrics["loss/overall_loss"]
+
+            dt_p = timed_pipelined(dispatch_bf, float)
+            record(
+                results, f"train_step_bs{bs}_bf16_production", dt, p50, bs, dt_p
+            )
         if 5 in which:
             t0 = time.perf_counter()
             for i in range(args.loop_steps):
