@@ -178,60 +178,107 @@ def _multi_first_k(xr, d2, radii, hmin, hmaxs, nsample, tile: int = 128):
     # into one (C, RH*k, t) einsum was tried and is 4x SLOWER — the decoded
     # (C, RH, k, tile) f32 cumsum/compare chains materialize ~134 MB per
     # chunk. Per-combo extraction keeps the working set per step small.
-    outs = []
-    for ri in range(len(radii)):
-        row = []
-        for hi in range(len(hmaxs)):
-            row.append(_first_k_from_class(cls_t, ri, hi, nsample))
-        outs.append(jnp.stack(row, axis=0))
-    return jnp.stack(outs, axis=0)  # (R, H, C, nsample)
+    # Grouping a SMALL number of combos per extraction matmul (so the MXU
+    # sees M = group*nsample rows instead of 64) is a separate knob:
+    # see _first_k_from_class_group / set_query_extract_group.
+    combos = [(ri, hi) for ri in range(len(radii)) for hi in range(len(hmaxs))]
+    g = max(1, _EXTRACT_GROUP)
+    res = {}
+    for s in range(0, len(combos), g):
+        grp = combos[s:s + g]
+        for combo, out in zip(grp, _first_k_from_class_group(cls_t, grp, nsample)):
+            res[combo] = out
+    return jnp.stack(
+        [
+            jnp.stack([res[(ri, hi)] for hi in range(len(hmaxs))], axis=0)
+            for ri in range(len(radii))
+        ],
+        axis=0,
+    )  # (R, H, C, nsample)
 
 
-def _first_k_from_class(cls_t: jnp.ndarray, ri: int, hi: int, nsample: int) -> jnp.ndarray:
-    """first-k-by-index from the bf16 class plane (see _multi_first_k).
+# how many combos share one slot-tile extraction matmul in _multi_first_k.
+# 1 = the round-2 per-combo path. Grouping raises the extraction matmul's M
+# from nsample (=64, ~half MXU sublane utilization) to group*nsample while
+# keeping the decode/cumsum chains per-combo (the working-set failure mode
+# of the all-16 batching). Trace-time constant; set before jit
+# (GB_QUERY_EXTRACT_GROUP env knob for A/B tools).
+import os as _os
+
+_EXTRACT_GROUP = int(_os.environ.get("GB_QUERY_EXTRACT_GROUP", "1"))
+
+
+def set_query_extract_group(n: int) -> None:
+    """Set how many combos share one extraction matmul (see _EXTRACT_GROUP)."""
+    global _EXTRACT_GROUP
+    if n < 1:
+        raise ValueError(f"extract group must be >= 1: {n}")
+    _EXTRACT_GROUP = n
+
+
+def _first_k_from_class_group(cls_t: jnp.ndarray, grp, nsample: int):
+    """first-k-by-index from the bf16 class plane for a GROUP of combos
+    (see _multi_first_k). Returns one (C, nsample) int32 array per combo.
 
     Same two-level rank-position selection as _first_k_from_tiled, but the
     per-slot tile extraction pulls CLASS values (exact one-hot matmul) and
     decodes the hit bit locally, so the only (C, N)-sized operand every
-    combo touches is the shared class plane.
+    combo touches is the shared class plane. All combos in ``grp`` share
+    ONE extraction matmul (one-hots concatenated along k) so the MXU runs
+    at M = len(grp)*nsample; the per-combo cumsum/compare chains are left
+    separate to bound the live working set.
     """
     c, t, tile = cls_t.shape
-
-    def decode_hit(v):  # v: integer-valued class in f32
-        div = jnp.floor(v * 0.125)
-        mod = v - div * 8.0
-        return (div <= ri + 0.5) & (mod <= hi + 0.5)
-
-    hit = decode_hit(cls_t.astype(jnp.float32))
-    tile_cnt = jnp.sum(hit.astype(jnp.int32), axis=-1)  # (C, t)
-    tile_cum = jnp.cumsum(tile_cnt, axis=-1)
-    count = tile_cum[..., -1:]
+    clsf = cls_t.astype(jnp.float32)
+    cls_div = jnp.floor(clsf * 0.125)
+    cls_mod = clsf - cls_div * 8.0
     js = jnp.arange(nsample, dtype=jnp.int32)
-    tj = jnp.sum((tile_cum[..., None] <= js).astype(jnp.int32), axis=-2)
-    tj = jnp.minimum(tj, t - 1)
-    onehot16 = jax.nn.one_hot(tj, t, dtype=jnp.bfloat16)  # (C, k, t)
-    excl = tile_cum - tile_cnt  # exclusive cumsum
-    # base via the one-hot matvec, NOT take_along_axis: the gather lowering
-    # breaks XLA's fusion grouping here and costs ~3x on the whole query
-    # (measured v5e 2026-08: 71.6 ms vs 22.5 ms total)
-    base = jnp.einsum(
-        "...kt,...t->...k",
-        onehot16.astype(jnp.float32),
-        excl.astype(jnp.float32),
-    ).astype(jnp.int32)
+    onehots, tjs, bases, counts = [], [], [], []
+    for ri, hi in grp:
+        hit = (cls_div <= ri + 0.5) & (cls_mod <= hi + 0.5)
+        tile_cnt = jnp.sum(hit.astype(jnp.int32), axis=-1)  # (C, t)
+        tile_cum = jnp.cumsum(tile_cnt, axis=-1)
+        counts.append(tile_cum[..., -1:])
+        tj = jnp.sum((tile_cum[..., None] <= js).astype(jnp.int32), axis=-2)
+        tj = jnp.minimum(tj, t - 1)
+        tjs.append(tj)
+        onehots.append(jax.nn.one_hot(tj, t, dtype=jnp.bfloat16))  # (C, k, t)
+        excl = tile_cum - tile_cnt  # exclusive cumsum
+        # base via the one-hot matvec, NOT take_along_axis: the gather
+        # lowering breaks XLA's fusion grouping here and costs ~3x on the
+        # whole query (measured v5e 2026-08: 71.6 ms vs 22.5 ms total)
+        bases.append(
+            jnp.einsum(
+                "...kt,...t->...k",
+                onehots[-1].astype(jnp.float32),
+                excl.astype(jnp.float32),
+            ).astype(jnp.int32)
+        )
+    oh = onehots[0] if len(grp) == 1 else jnp.concatenate(onehots, axis=-2)
     # extract the slot tiles' CLASS values: exactly one 1 per one-hot row,
     # bf16 products of integer-valued operands <= 63 are exact
     tiles_cls = jnp.einsum(
-        "...kt,...tl->...kl", onehot16, cls_t,
+        "...kt,...tl->...kl", oh, cls_t,
         preferred_element_type=jnp.float32,
-    )  # (C, k, tile)
-    tiles = decode_hit(tiles_cls).astype(jnp.float32)
-    local_cs = jnp.cumsum(tiles, axis=-1)
-    r = (js + 1 - base)[..., None].astype(jnp.float32)
-    pos_local = jnp.sum((local_cs < r).astype(jnp.int32), axis=-1)
-    pos = tj * tile + pos_local
-    pad = jnp.where(count > 0, pos[..., 0:1], 0)
-    return jnp.where(js < count, pos, pad).astype(jnp.int32)
+    )  # (C, len(grp)*k, tile)
+    outs = []
+    for i, (ri, hi) in enumerate(grp):
+        tc = tiles_cls[..., i * nsample:(i + 1) * nsample, :]
+        tc_div = jnp.floor(tc * 0.125)
+        tc_mod = tc - tc_div * 8.0
+        tiles = ((tc_div <= ri + 0.5) & (tc_mod <= hi + 0.5)).astype(jnp.float32)
+        local_cs = jnp.cumsum(tiles, axis=-1)
+        r = (js + 1 - bases[i])[..., None].astype(jnp.float32)
+        pos_local = jnp.sum((local_cs < r).astype(jnp.int32), axis=-1)
+        pos = tjs[i] * tile + pos_local
+        pad = jnp.where(counts[i] > 0, pos[..., 0:1], 0)
+        outs.append(jnp.where(js < counts[i], pos, pad).astype(jnp.int32))
+    return outs
+
+
+def _first_k_from_class(cls_t: jnp.ndarray, ri: int, hi: int, nsample: int) -> jnp.ndarray:
+    """Single-combo view of _first_k_from_class_group (kept for tests)."""
+    return _first_k_from_class_group(cls_t, [(ri, hi)], nsample)[0]
 
 
 # default batch-chunk for the query vmaps when the call site passes
