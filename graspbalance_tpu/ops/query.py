@@ -374,10 +374,20 @@ def ball_query(
 
     def per_batch(args):
         pts, ctr, vld = args
+        # coordinate-planes form: the (C, N, 3) delta + minor-3 reduce
+        # lowers to a TPU contraction whose batch-in-sublanes (C-minor)
+        # output layout forces a transpose copy of every (C, N) hit plane
+        # downstream (measured 2026-08-20: ~2.5 ms/forward across the
+        # queries). Three (C, N) elementwise planes keep N minor
+        # everywhere. Bit-exact: d2 accumulates in the same k order and
+        # 0 + x == x.
+        pts_t = pts.T  # (3, N)
 
         def per_chunk(c):
-            delta = c[:, None, :] - pts[None, :, :]
-            d2 = jnp.sum(delta * delta, axis=-1)
+            dx = c[:, 0:1] - pts_t[0][None, :]
+            dy = c[:, 1:2] - pts_t[1][None, :]
+            dz = c[:, 2:3] - pts_t[2][None, :]
+            d2 = dx * dx + dy * dy + dz * dz
             hit = d2 < r2
             if vld is not None:
                 hit = jnp.logical_and(hit, vld[None, :])
@@ -394,6 +404,28 @@ def ball_query(
     )
 
 
+def _rot_planes(pts, ctr, rot):
+    """Gripper-frame coordinate planes for one chunk of centers.
+
+    pts (N,3), ctr (C,3), rot (C,3,3) -> (xr, d2) as (C, N) planes, where
+    p' = R^T (p - c) (columns of R are the gripper frame axes) and
+    d2 = y'^2 + z'^2. Planes-form FMAs, NOT an einsum: the "cnk,ck->cn"
+    contraction lowers to a TPU convolution whose batch-in-sublanes
+    (C-minor) output layout forces a transpose copy on every consumer of
+    the (C, N) planes (measured 2026-08-20, ~2.5 ms/forward across the
+    queries). Bit-exact vs the einsum form on CPU: (p-c) == -(c-p) and
+    negation commutes with addition, same k accumulation order.
+    """
+    px, py, pz = pts[:, 0][None, :], pts[:, 1][None, :], pts[:, 2][None, :]
+    dx = px - ctr[:, 0:1]
+    dy = py - ctr[:, 1:2]
+    dz = pz - ctr[:, 2:3]
+    xr = dx * rot[:, 0:1, 0] + dy * rot[:, 1:2, 0] + dz * rot[:, 2:3, 0]
+    yr = dx * rot[:, 0:1, 1] + dy * rot[:, 1:2, 1] + dz * rot[:, 2:3, 1]
+    zr = dx * rot[:, 0:1, 2] + dy * rot[:, 1:2, 2] + dz * rot[:, 2:3, 2]
+    return xr, yr * yr + zr * zr
+
+
 def _cyl_hits(pts, ctr, rot, r2, hmin, hmax, vld):
     """Rotated-frame hit mask for one chunk of centers.
 
@@ -401,12 +433,7 @@ def _cyl_hits(pts, ctr, rot, r2, hmin, hmax, vld):
     (cylinder_query_gpu.cu:56-75): p' = R^T (p - c); hit iff
     y'^2+z'^2 < r^2 and hmin < x' < hmax.
     """
-    delta = ctr[:, None, :] - pts[None, :, :]  # (C, N, 3) = -(p - c)
-    # p' = R^T (p - c) = -R^T delta; columns of R are the gripper frame axes.
-    xr = -jnp.einsum("cnk,ck->cn", delta, rot[:, :, 0])
-    yr = -jnp.einsum("cnk,ck->cn", delta, rot[:, :, 1])
-    zr = -jnp.einsum("cnk,ck->cn", delta, rot[:, :, 2])
-    d2 = yr * yr + zr * zr
+    xr, d2 = _rot_planes(pts, ctr, rot)
     hit = (d2 < r2) & (xr > hmin) & (xr < hmax)
     if vld is not None:
         hit = jnp.logical_and(hit, vld[None, :])
@@ -509,11 +536,10 @@ def multi_cylinder_query(
     def per_batch(pts, ctr, rr):
         def per_chunk(args):
             c, rc = args
-            delta = c[:, None, :] - pts[None, :, :]
-            xr = -jnp.einsum("cnk,ck->cn", delta, rc[:, :, 0])
-            yr = -jnp.einsum("cnk,ck->cn", delta, rc[:, :, 1])
-            zr = -jnp.einsum("cnk,ck->cn", delta, rc[:, :, 2])
-            d2 = yr * yr + zr * zr
+            # planes-form rotation (see _rot_planes): the einsum lowers to
+            # a C-minor-layout convolution that forces a transpose copy of
+            # the class plane per chunk (132 copies, 2.5 ms/forward).
+            xr, d2 = _rot_planes(pts, c, rc)
             if order == "index":
                 return _multi_first_k(
                     xr, d2, radii, hmin, hmaxs, nsample, tile=tile
@@ -551,11 +577,7 @@ def _multi_cylinder_query_pallas(
     def per_batch(pts, ctr, rr):
         def per_chunk(args):
             c, rc = args
-            delta = c[:, None, :] - pts[None, :, :]
-            xr = -jnp.einsum("cnk,ck->cn", delta, rc[:, :, 0])
-            yr = -jnp.einsum("cnk,ck->cn", delta, rc[:, :, 1])
-            zr = -jnp.einsum("cnk,ck->cn", delta, rc[:, :, 2])
-            d2 = yr * yr + zr * zr
+            xr, d2 = _rot_planes(pts, c, rc)
             return _class_plane(xr, d2, radii, hmin, hmaxs).astype(jnp.bfloat16)
 
         return _chunked_centers(per_chunk, (ctr, rr), chunk)
