@@ -20,6 +20,7 @@ the TPU hardware approximate top-k unit.
 from __future__ import annotations
 
 import functools
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -55,10 +56,39 @@ def _first_k_by_index(hit: jnp.ndarray, nsample: int, tile: int = 128) -> jnp.nd
     return _first_k_from_tiled(h, nsample)
 
 
+def _tile_count(h: jnp.ndarray) -> jnp.ndarray:
+    """(..., T, TILE) 0/1 hits -> (..., T) int32 per-tile counts.
+
+    Two exact forms: a VPU reduce over the minor TILE axis (default), or an
+    MXU matvec against a ones vector (GB_COUNT_MATMUL=1). The reduce's fused
+    consumer prefers the hit plane C-minor while the slot-tile extraction
+    dots want it TILE-minor — the layout conflict behind the residual
+    ~3.5 ms of transpose copies (docs/NOTES.md planes-form entry). The
+    matvec variant aligns both consumers on TILE-minor. Exact either way:
+    bf16 0/1 products accumulate in f32 on the MXU, counts <= TILE."""
+    if _COUNT_MATMUL:
+        ones = jnp.ones((h.shape[-1],), jnp.bfloat16)
+        cnt = jnp.einsum(
+            "...tl,l->...t", h.astype(jnp.bfloat16), ones,
+            preferred_element_type=jnp.float32,
+        )
+        return cnt.astype(jnp.int32)
+    return jnp.sum(h.astype(jnp.int32), axis=-1)
+
+
+_COUNT_MATMUL = _os.environ.get("GB_COUNT_MATMUL", "") not in ("", "0")
+
+
+def set_count_matmul(on: bool) -> None:
+    """A/B knob for _tile_count's MXU-matvec form (trace-time constant)."""
+    global _COUNT_MATMUL
+    _COUNT_MATMUL = bool(on)
+
+
 def _first_k_from_tiled(h: jnp.ndarray, nsample: int) -> jnp.ndarray:
     """(..., T, TILE) bool hits (padding = False) -> (..., nsample) int32."""
     t, tile = h.shape[-2:]
-    tile_cnt = jnp.sum(h.astype(jnp.int32), axis=-1)  # (..., t)
+    tile_cnt = _tile_count(h)  # (..., t)
     tile_cum = jnp.cumsum(tile_cnt, axis=-1)  # inclusive (..., t)
     count = tile_cum[..., -1:]
     js = jnp.arange(nsample, dtype=jnp.int32)
@@ -203,8 +233,6 @@ def _multi_first_k(xr, d2, radii, hmin, hmaxs, nsample, tile: int = 128):
 # keeping the decode/cumsum chains per-combo (the working-set failure mode
 # of the all-16 batching). Trace-time constant; set before jit
 # (GB_QUERY_EXTRACT_GROUP env knob for A/B tools).
-import os as _os
-
 _EXTRACT_GROUP = int(_os.environ.get("GB_QUERY_EXTRACT_GROUP", "1"))
 
 
@@ -236,7 +264,7 @@ def _first_k_from_class_group(cls_t: jnp.ndarray, grp, nsample: int):
     onehots, tjs, bases, counts = [], [], [], []
     for ri, hi in grp:
         hit = (cls_div <= ri + 0.5) & (cls_mod <= hi + 0.5)
-        tile_cnt = jnp.sum(hit.astype(jnp.int32), axis=-1)  # (C, t)
+        tile_cnt = _tile_count(hit)  # (C, t)
         tile_cum = jnp.cumsum(tile_cnt, axis=-1)
         counts.append(tile_cum[..., -1:])
         tj = jnp.sum((tile_cum[..., None] <= js).astype(jnp.int32), axis=-2)
