@@ -82,21 +82,24 @@ def main():
 
     clouds_per_sec = batch_size * n_iters / total
     p50_scene_ms = float(np.median(times)) / batch_size * 1e3
-    print(
-        json.dumps(
-            {
-                "metric": "inference_clouds_per_sec_per_chip_20k",
-                "value": round(clouds_per_sec, 3),
-                "unit": "clouds/s",
-                "vs_baseline": round(clouds_per_sec / BASELINE_CLOUDS_PER_SEC, 3),
-                "p50_ms": round(p50_scene_ms, 2),
-                # throughput methodology: dispatch is pipelined (forced once
-                # at the end) since round 2 — round-1 numbers were blocking
-                # per-iteration and are not directly comparable
-                "method": "pipelined",
-            }
-        )
-    )
+
+    # MFU/roofline accounting (VERDICT r3 #4): structural FLOP/byte counts
+    # from XLA's compiled cost analysis against the pipelined per-iter time
+    from benchmarks.roofline import roofline_fields, xla_cost
+
+    row = {
+        "metric": "inference_clouds_per_sec_per_chip_20k",
+        "value": round(clouds_per_sec, 3),
+        "unit": "clouds/s",
+        "vs_baseline": round(clouds_per_sec / BASELINE_CLOUDS_PER_SEC, 3),
+        "p50_ms": round(p50_scene_ms, 2),
+        # throughput methodology: dispatch is pipelined (forced once
+        # at the end) since round 2 — round-1 numbers were blocking
+        # per-iteration and are not directly comparable
+        "method": "pipelined",
+    }
+    row.update(roofline_fields(xla_cost(forward, variables, cloud), total / n_iters))
+    print(json.dumps(row))
 
 
 if __name__ == "__main__":

@@ -9,6 +9,8 @@ cubes would mis-state the cost. Configs (BASELINE.json `configs`):
   3. e2e_inference         forward + decode + NMS + voxel-ds collision filter
   4. train_step            single training step (labels + loss + Adam), bs=8*
   5. train_loop            short synthetic training loop, steps/sec
+  6. quality_gate          closed-loop synthetic quality: train -> decode ->
+                           NMS/collision -> score vs analytic labels
 
 *bs for the train step is configurable; the reference trains at bs=2 and
 the BASELINE config names bs=8.
@@ -51,7 +53,9 @@ def timed_pipelined(dispatch, force, iters=10):
     return (time.perf_counter() - t0) / iters
 
 
-def record(results, name, dt, p50, bs, dt_pipelined=None):
+def record(results, name, dt, p50, bs, dt_pipelined=None, cost=None):
+    from benchmarks.roofline import roofline_fields
+
     row = {
         "config": name,
         "ms": round(dt * 1e3, 2),
@@ -61,14 +65,18 @@ def record(results, name, dt, p50, bs, dt_pipelined=None):
     if dt_pipelined is not None:
         row["ms_pipelined"] = round(dt_pipelined * 1e3, 2)
         row["clouds_per_sec_pipelined"] = round(bs / dt_pipelined, 2)
+    # MFU/roofline fields (VERDICT r3 #4) against the pipelined per-iter
+    # time (blocking times carry the ~24 ms tunnel RTT)
+    row.update(roofline_fields(cost, dt_pipelined or dt))
     results.append(row)
 
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--configs", default="1,2,3,4", help="comma list of 1-5")
+    p.add_argument("--configs", default="1,2,3,4", help="comma list of 1-6")
     p.add_argument("--train_bs", type=int, default=8)
     p.add_argument("--loop_steps", type=int, default=10)
+    p.add_argument("--quality_steps", type=int, default=800)
     args = p.parse_args()
     which = {int(x) for x in args.configs.split(",")}
 
@@ -89,6 +97,8 @@ def main():
     from graspbalance_tpu.train.config import Config
     from graspbalance_tpu.train import train_step as ts
 
+    from benchmarks.roofline import xla_cost
+
     rng = np.random.default_rng(0)
     results = []
     scene20k = SceneConfig(num_points=20000)
@@ -104,7 +114,8 @@ def main():
         )
         dt, p50 = timed(lambda: float(f(v, cloud)))
         dt_p = timed_pipelined(lambda: f(v, cloud), float)
-        record(results, "backbone_forward_bs1", dt, p50, 1, dt_p)
+        record(results, "backbone_forward_bs1", dt, p50, 1, dt_p,
+               cost=xla_cost(f, v, cloud))
 
     if 2 in which or 3 in which:
         cfg = Config()
@@ -149,7 +160,8 @@ def main():
             key = jax.random.PRNGKey(2)
             dt, p50 = timed(lambda: float(f2(v, dv, cloud, key)))
             dt_p = timed_pipelined(lambda: f2(v, dv, cloud, key), float)
-            record(results, "full_forward_dsn_obs_bs4", dt, p50, bs, dt_p)
+            record(results, "full_forward_dsn_obs_bs4", dt, p50, bs, dt_p,
+                   cost=xla_cost(f2, v, dv, cloud, key))
         if 3 in which:
             @jax.jit
             def f3(v, c):
@@ -167,7 +179,8 @@ def main():
 
             dt, p50 = timed(lambda: float(f3(v, cloud)))
             dt_p = timed_pipelined(lambda: f3(v, cloud), float)
-            record(results, "e2e_inference_bs4", dt, p50, bs, dt_p)
+            record(results, "e2e_inference_bs4", dt, p50, bs, dt_p,
+                   cost=xla_cost(f3, v, cloud))
 
     if 4 in which or 5 in which:
         cfg = Config()
@@ -203,7 +216,8 @@ def main():
                 return metrics["loss/overall_loss"]
 
             dt_p = timed_pipelined(dispatch, float)
-            record(results, f"train_step_bs{bs}", dt, p50, bs, dt_p)
+            record(results, f"train_step_bs{bs}", dt, p50, bs, dt_p,
+                   cost=xla_cost(step_fn, state, batch, jnp.int32(0)))
 
             # production training config: whole-model bf16 compute (params,
             # BN stats and the loss stay f32). A documented non-parity knob
@@ -245,7 +259,8 @@ def main():
 
             dt_p = timed_pipelined(dispatch_bf, float)
             record(
-                results, f"train_step_bs{bs}_bf16_production", dt, p50, bs, dt_p
+                results, f"train_step_bs{bs}_bf16_production", dt, p50, bs,
+                dt_p, cost=xla_cost(step_bf, state_bf, batch, jnp.int32(0)),
             )
         if 5 in which:
             t0 = time.perf_counter()
@@ -261,6 +276,17 @@ def main():
                  "ms": round(dt * 1e3, 2),
                  "clouds_per_sec": round(bs / dt, 2)}
             )
+
+    if 6 in which:
+        # closed-loop quality gate (VERDICT r3 #1): train the full model on
+        # synthetic analytic scenes, decode+NMS+collision on held-out
+        # scenes, score survivors against the analytic rule — trained must
+        # far outscore untrained. ~10 min at the default step count.
+        from tools.quality_gate import run_gate
+
+        results.append(run_gate(
+            steps=args.quality_steps, bs=4, dtype="bfloat16",
+        ))
 
     for r in results:
         print(json.dumps(r))

@@ -57,6 +57,9 @@ def _load_variables(args, cfg):
         saved = load_config(args.checkpoint_dir)
         if saved is not None:
             cfg = dataclasses.replace(saved, data=cfg.data)
+        from graspbalance_tpu.train.train_step import apply_trace_knobs
+
+        apply_trace_knobs(cfg)  # restore the checkpoint's numerics knobs
         variables, step = load_inference_variables(args.checkpoint_dir, best=args.best)
         print(f"restored checkpoint step {step}")
         return variables, cfg

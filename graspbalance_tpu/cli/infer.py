@@ -50,6 +50,9 @@ def main():
             import dataclasses
 
             cfg = dataclasses.replace(saved, data=cfg.data)
+    from graspbalance_tpu.train.train_step import apply_trace_knobs
+
+    apply_trace_knobs(cfg)  # restore the checkpoint's numerics knobs
     model = build_model(cfg)
 
     if args.checkpoint_dir:

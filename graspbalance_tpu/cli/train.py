@@ -39,6 +39,12 @@ def parse_args():
     p.add_argument("--synthetic_steps", type=int, default=50,
                    help="steps/epoch when running on synthetic data")
     p.add_argument(
+        "--synthetic_analytic", action="store_true",
+        help="synthetic labels are an analytic function of scene geometry "
+        "(labels/analytic.py) expanded on device — the learnable target "
+        "behind the closed-loop quality gate (tools/quality_gate.py)",
+    )
+    p.add_argument(
         "--synthetic_varied_labels", action="store_true",
         help="draw per-scene synthetic label tensors (slower host datagen); "
         "default shares one base tensor across scenes (static_labels)",
@@ -64,6 +70,7 @@ def main():
             batch_size=args.batch_size,
             num_workers=args.num_workers,
             ncm=args.ncm,
+            analytic_labels=args.synthetic_analytic and not args.dataset_root,
         ),
         train=TrainConfig(
             max_epoch=args.max_epoch,
@@ -89,6 +96,8 @@ def main():
             num_points=args.num_point,
             num_views=args.num_view,
             static_labels=not args.synthetic_varied_labels,
+            analytic_labels=args.synthetic_analytic,
+            emit_label_tensors=not args.synthetic_analytic,
         )
         steps = args.synthetic_steps
 

@@ -422,6 +422,16 @@ def make_dataloaders(cfg):
     def eval_batches() -> Iterator[dict]:
         yield from _batched(eval_ds, np.arange(len(eval_ds)), bs, d.num_workers)
 
+    def telemetry() -> dict:
+        """Data-pipeline counters for the train metric stream (VERDICT r3
+        #8): without this, a dense scene whose per-object grasp-point total
+        exceeds max_grasp_points truncates silently in production logs."""
+        return {
+            "data/truncated_items": float(train_ds.truncated_items),
+            "data/truncated_points": float(train_ds.truncated_points),
+        }
+
+    train_batches.telemetry = telemetry
     return train_batches, eval_batches, steps
 
 

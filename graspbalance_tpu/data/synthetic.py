@@ -25,10 +25,27 @@ class SceneConfig:
     grasp_points_per_object: int = 300
     num_objects: int = 8
     table_frac: float = 0.4
+    # spatial extents (half-widths): the table plane spans +-table_extent
+    # in x/y, object centers scatter over +-object_scatter. The quality
+    # gate shrinks both (compact clutter): FPS seeds sample by spatial
+    # coverage, so a large sparse table absorbs nearly all seeds and
+    # starves the graspable-classification signal (measured 6% object
+    # seeds at the defaults vs ~40% compact, round-4 calibration)
+    table_extent: float = 0.3
+    object_scatter: float = 0.25
     # share ONE base label tensor across all scenes/batches (zero-copy
     # broadcast views): scene geometry still varies; use for throughput and
     # smoke-training workloads where per-scene label variety is irrelevant
     static_labels: bool = False
+    # analytic labels: scores/widths/tolerance are a deterministic function
+    # of scene geometry (labels/analytic.py) instead of random tensors —
+    # genuinely learnable, and decoded grasps can be scored against the
+    # same rule (the closed-loop quality gate, tools/quality_gate.py)
+    analytic_labels: bool = False
+    # with analytic_labels, skip materializing the (P, V, A, D) tensors on
+    # the host entirely: the training step expands them on device from the
+    # small geometry arrays (cfg.data.analytic_labels=True)
+    emit_label_tensors: bool = True
 
 
 _BASE_LABELS: dict = {}
@@ -56,21 +73,31 @@ def make_scene(rng: np.random.Generator, cfg: SceneConfig) -> dict:
     n_obj_pts = cfg.num_points - n_table
 
     # table plane at z ~ 0.5 (camera frame-ish depths)
+    te = cfg.table_extent
     table = np.empty((n_table, 3), np.float32)
-    table[:, 0] = rng.uniform(-0.3, 0.3, n_table)
-    table[:, 1] = rng.uniform(-0.3, 0.3, n_table)
+    table[:, 0] = rng.uniform(-te, te, n_table)
+    table[:, 1] = rng.uniform(-te, te, n_table)
     table[:, 2] = 0.5 + rng.normal(0, 0.002, n_table)
 
     # objects: random boxes above the plane
+    sizes = rng.uniform(0.02, 0.08, (n_obj, 3)).astype(np.float32)
+    cz = rng.uniform(0.42, 0.48, n_obj)
+    if cfg.analytic_labels:
+        # rest each box ON the table with a small clearance: the legacy
+        # z-draw ignores the box height, so boxes can poke through the
+        # plane — a top-down grasp near the bottom then sweeps its fingers
+        # through table points and the collision filter rejects every
+        # grasp, which would starve the closed-loop quality gate
+        cz = 0.5 - sizes[:, 2] / 2.0 - rng.uniform(0.002, 0.01, n_obj)
+    oe = cfg.object_scatter
     centers = np.stack(
         [
-            rng.uniform(-0.25, 0.25, n_obj),
-            rng.uniform(-0.25, 0.25, n_obj),
-            rng.uniform(0.42, 0.48, n_obj),
+            rng.uniform(-oe, oe, n_obj),
+            rng.uniform(-oe, oe, n_obj),
+            cz,
         ],
         axis=-1,
     ).astype(np.float32)
-    sizes = rng.uniform(0.02, 0.08, (n_obj, 3)).astype(np.float32)
 
     per_obj = n_obj_pts // n_obj
     obj_points = []
@@ -114,6 +141,34 @@ def make_scene(rng: np.random.Generator, cfg: SceneConfig) -> dict:
         gobj[lo:hi] = i
         gmask[lo:hi] = True
 
+    sizes_padded = np.zeros((o_max, 3), np.float32)
+    sizes_padded[:n_obj] = sizes
+
+    base = {
+        "point_clouds": cloud,
+        "objectness_label": (seg > 0).astype(np.int32),
+        "instance_label": seg,
+        "object_poses": poses,
+        "obj_mask": obj_mask,
+        "obj_sizes": sizes_padded,
+        "grasp_points": gpts,
+        "grasp_pt_obj": gobj,
+        "grasp_pt_mask": gmask,
+    }
+
+    if cfg.analytic_labels:
+        if cfg.emit_label_tensors:
+            from graspbalance_tpu.labels.analytic import analytic_label_tensors
+
+            labels, widths, tolerance = analytic_label_tensors(
+                sizes_padded, gobj, gmask,
+                cfg.num_views, cfg.num_angles, cfg.num_depths, xp=np,
+            )
+            base["grasp_labels"] = labels
+            base["grasp_widths"] = widths
+            base["grasp_tolerance"] = tolerance
+        return base
+
     vad = (p_max, cfg.num_views, cfg.num_angles, cfg.num_depths)
     # The (P, V, A, D) label tensors are ~59M elements each at production
     # shape; drawing them independently per scene costs ~180M RNG draws
@@ -138,19 +193,10 @@ def make_scene(rng: np.random.Generator, cfg: SceneConfig) -> dict:
         tolerance = np.roll(base_t, int(shifts[2]), axis=0)
         labels[~gmask] = 0.0
 
-    return {
-        "point_clouds": cloud,
-        "objectness_label": (seg > 0).astype(np.int32),
-        "instance_label": seg,
-        "object_poses": poses,
-        "obj_mask": obj_mask,
-        "grasp_points": gpts,
-        "grasp_pt_obj": gobj,
-        "grasp_pt_mask": gmask,
-        "grasp_labels": labels,
-        "grasp_widths": widths,
-        "grasp_tolerance": tolerance,
-    }
+    base["grasp_labels"] = labels
+    base["grasp_widths"] = widths
+    base["grasp_tolerance"] = tolerance
+    return base
 
 
 def make_batch(seed: int, batch_size: int, cfg: SceneConfig | None = None) -> dict:
@@ -159,7 +205,7 @@ def make_batch(seed: int, batch_size: int, cfg: SceneConfig | None = None) -> di
     scenes = [make_scene(rng, cfg) for _ in range(batch_size)]
     out = {}
     for k in scenes[0]:
-        if cfg.static_labels and k in (
+        if cfg.static_labels and not cfg.analytic_labels and k in (
             "grasp_labels", "grasp_widths", "grasp_tolerance"
         ):
             # all scenes share the base tensor: broadcast a view instead of

@@ -56,6 +56,15 @@ def _first_k_by_index(hit: jnp.ndarray, nsample: int, tile: int = 128) -> jnp.nd
     return _first_k_from_tiled(h, nsample)
 
 
+_COUNT_MATMUL = _os.environ.get("GB_COUNT_MATMUL", "") not in ("", "0")
+
+
+def set_count_matmul(on: bool) -> None:
+    """A/B knob for _tile_count's MXU-matvec form (trace-time constant)."""
+    global _COUNT_MATMUL
+    _COUNT_MATMUL = bool(on)
+
+
 def _tile_count(h: jnp.ndarray) -> jnp.ndarray:
     """(..., T, TILE) 0/1 hits -> (..., T) int32 per-tile counts.
 
@@ -74,15 +83,6 @@ def _tile_count(h: jnp.ndarray) -> jnp.ndarray:
         )
         return cnt.astype(jnp.int32)
     return jnp.sum(h.astype(jnp.int32), axis=-1)
-
-
-_COUNT_MATMUL = _os.environ.get("GB_COUNT_MATMUL", "") not in ("", "0")
-
-
-def set_count_matmul(on: bool) -> None:
-    """A/B knob for _tile_count's MXU-matvec form (trace-time constant)."""
-    global _COUNT_MATMUL
-    _COUNT_MATMUL = bool(on)
 
 
 def _first_k_from_tiled(h: jnp.ndarray, nsample: int) -> jnp.ndarray:

@@ -30,6 +30,24 @@ class ModelConfig:
     # perf-neutral at bs=8 and -4% at bs=2, docs/NOTES.md).
     # GB_LABEL_IMPL env overrides for A/B.
     label_impl: str = "full"
+    # --- trace-time numerics knobs (VERDICT r3 #7) ---
+    # These bake into the jaxpr via module-level setters (ops/query.py,
+    # ops/gather.py); as config fields they are captured by config_to_dict,
+    # stored with every checkpoint (CheckpointManager.save_config), and
+    # re-applied on restore (apply_trace_knobs) — so a checkpoint fully
+    # records the numerics-affecting state it was trained under. The
+    # matching GB_* envs remain one-off A/B overrides.
+    # gather/group_points backward: 'xla' | 'sorted' | 'onehot' | 'pallas'
+    # (all measured, docs/NOTES.md; 'xla' is the fastest-overall default)
+    gather_vjp: str = "xla"
+    # query batch-vmap chunk; None = 4 * n_data_shards (the v5e
+    # reduce-fusion fast-path shape scaled to span whole mesh shards)
+    query_batch_chunk: int | None = None
+    # _tile_count as MXU matvec (measured neutral on v5e; A/B knob)
+    count_matmul: bool = False
+    # slot-tile extraction matmul grouping (1 = per-combo, the measured
+    # e2e optimum; >1 only for A/B — docs/NOTES.md round-3 negative)
+    query_extract_group: int = 1
 
 
 @dataclasses.dataclass(frozen=True)
@@ -44,6 +62,11 @@ class DataConfig:
     ncm: bool = True  # noisy-clean per-object mix augmentation
     augment: bool = True
     precompute_fps: bool = True  # host-side FPS indices in the loader
+    # synthetic analytic labels (labels/analytic.py): the training step
+    # expands the (B, P, V, A, D) label tensors on device from the small
+    # geometry arrays (obj_sizes/grasp_pt_obj) when the batch doesn't carry
+    # them — the host never builds or uploads ~1.4 GB/step of tensors
+    analytic_labels: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

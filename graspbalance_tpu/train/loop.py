@@ -13,7 +13,6 @@ from typing import Callable, Iterable
 import jax
 import jax.numpy as jnp
 
-from graspbalance_tpu.ops import query as ops_query
 from graspbalance_tpu.parallel.mesh import make_mesh
 from graspbalance_tpu.train.checkpoints import CheckpointManager
 from graspbalance_tpu.train.config import Config
@@ -90,11 +89,12 @@ def train(
     steps_per_epoch: int | None = None,
 ):
     """train_batches(epoch) -> iterable of numpy batch dicts."""
+    from graspbalance_tpu.train.train_step import apply_trace_knobs
+
     mesh = make_mesh(cfg.train.n_data_shards)
-    # under a data-sharded mesh, query batch-chunks must span whole shards:
-    # a global slice narrower than the shard count leaves devices idle per
-    # chunk (GSPMD masks them), serializing the query (ops/query.py)
-    ops_query.set_query_batch_chunk(4 * mesh.shape["data"])
+    # apply the config tree's trace-time numerics knobs before any tracing
+    # (query batch-chunks must span whole shards under the data mesh)
+    apply_trace_knobs(cfg, n_data_shards=mesh.shape["data"])
     sample = None
     for sample in train_batches(0):
         break
@@ -143,7 +143,15 @@ def train(
                 agg.update(metrics)
                 epoch_agg.update({"loss/overall_loss": metrics_dev["loss/overall_loss"]})
                 if (i + 1) % cfg.train.log_every == 0:
-                    logger.log(int(state.step), agg.flush())
+                    window = agg.flush()
+                    # data-pipeline telemetry (cumulative counters, e.g.
+                    # grasp-point truncation — VERDICT r3 #8): surfaced in
+                    # the same JSONL/TB stream so dense-scene truncation
+                    # can't happen silently in a production run
+                    telemetry = getattr(train_batches, "telemetry", None)
+                    if telemetry is not None:
+                        window.update(telemetry())
+                    logger.log(int(state.step), window)
             if profiling:
                 jax.profiler.stop_trace()
                 profiling = False

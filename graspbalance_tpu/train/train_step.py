@@ -30,6 +30,33 @@ class TrainState(struct.PyTreeNode):
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
 
 
+def apply_trace_knobs(cfg: Config, n_data_shards: int = 1) -> None:
+    """Apply the config tree's trace-time numerics knobs to the module-level
+    setters they control (VERDICT r3 #7). Call before tracing (train entry,
+    inference restore); GB_* envs win over config values so one-off A/B runs
+    don't need a config edit. query_batch_chunk=None derives the default
+    4 * n_data_shards (chunks must span whole shards under a data mesh —
+    ops/query.set_query_batch_chunk docstring)."""
+    import os
+
+    from graspbalance_tpu.ops import gather as ops_gather
+    from graspbalance_tpu.ops import query as ops_query
+
+    m = cfg.model
+    ops_gather.set_gather_vjp(os.environ.get("GB_GATHER_VJP", m.gather_vjp))
+    cm = os.environ.get("GB_COUNT_MATMUL")
+    ops_query.set_count_matmul(
+        cm not in ("", "0") if cm is not None else m.count_matmul
+    )
+    eg = os.environ.get("GB_QUERY_EXTRACT_GROUP")
+    ops_query.set_query_extract_group(
+        int(eg) if eg else m.query_extract_group
+    )
+    chunk = m.query_batch_chunk or 4 * max(n_data_shards, 1)
+    qc = os.environ.get("GB_QUERY_BATCH_CHUNK")
+    ops_query.set_query_batch_chunk(int(qc) if qc else chunk)
+
+
 def build_model(cfg: Config) -> GraspBalance:
     import os
 
@@ -119,7 +146,7 @@ def create_train_state(cfg: Config, steps_per_epoch: int, sample_batch: dict, rn
     # independent, so trace a bs-1 slice
     sample1 = {k: jnp.asarray(v[:1]) for k, v in sample_batch.items()}
     variables = jax.jit(
-        lambda r, b: model.init(r, b, train=True)
+        lambda r, b: model.init(r, _maybe_expand_analytic(b, cfg), train=True)
     )(rng, sample1)
     tx = make_optimizer(cfg, steps_per_epoch)
     params = variables["params"]
@@ -133,12 +160,27 @@ def create_train_state(cfg: Config, steps_per_epoch: int, sample_batch: dict, rn
     return model, state
 
 
+def _maybe_expand_analytic(batch: dict, cfg: Config) -> dict:
+    """Device-side analytic label expansion (labels/analytic.py): when the
+    synthetic pipeline runs with cfg.data.analytic_labels and ships only the
+    small geometry arrays, build the (B, P, V, A, D) label tensors inside
+    the jitted step. No-op when the batch already carries tensors (host
+    path / real loader)."""
+    if not cfg.data.analytic_labels or "grasp_labels" in batch:
+        return batch
+    from graspbalance_tpu.labels.analytic import expand_batch_labels
+
+    m = cfg.model
+    return expand_batch_labels(batch, m.num_view, m.num_angle, m.num_depth)
+
+
 def make_train_step(model: GraspBalance, cfg: Config) -> Callable:
     """Returns train_step(state, batch, epoch) -> (state, metrics), jitted
     with donated state."""
     t = cfg.train
 
     def train_step(state: TrainState, batch: dict, epoch: jnp.ndarray):
+        batch = _maybe_expand_analytic(batch, cfg)
         bn_momentum = bn_momentum_schedule(
             epoch,
             init=t.bn_momentum_init,
@@ -179,6 +221,7 @@ def make_eval_step(model: GraspBalance, cfg: Config) -> Callable:
     """Loss-only eval step (train.py:177-209 evaluates loss on test_seen)."""
 
     def eval_step(state: TrainState, batch: dict):
+        batch = _maybe_expand_analytic(batch, cfg)
         # Reference eval: running BN stats + the training label pipeline
         # (net.eval() with constructor is_training=True, train.py:177-196).
         ep = model.apply(

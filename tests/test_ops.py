@@ -64,6 +64,24 @@ class TestBallQuery:
             want = oracles.ball_query_oracle(pts[b], centers[b], radius, nsample)
             np.testing.assert_array_equal(got[b], want)
 
+    def test_count_matmul_first_k_parity(self, rng):
+        """GB_COUNT_MATMUL (MXU matvec tile counts) must select identically
+        to the reduce path on random hit planes — the exactness argument
+        (bf16 0/1 products, f32 accumulate, counts <= TILE) gets unit
+        coverage here, not just the one e2e A/B run (ADVICE r3)."""
+        from graspbalance_tpu.ops import query as q
+
+        hit = jnp.asarray(rng.random((4, 37, 333)) < 0.07)
+        old = q._COUNT_MATMUL
+        q.set_count_matmul(False)
+        try:
+            want = np.asarray(q._first_k_by_index(hit, 16))
+            q.set_count_matmul(True)
+            got = np.asarray(q._first_k_by_index(hit, 16))
+        finally:
+            q.set_count_matmul(old)
+        np.testing.assert_array_equal(got, want)
+
     def test_empty_ball_is_zero(self, rng):
         pts = random_cloud(rng, 1, 64)
         centers = np.full((1, 3, 3), 100.0, np.float32)

@@ -1,0 +1,164 @@
+"""Closed-loop quality gate tests (VERDICT r3 #1) at CPU scale.
+
+The production-scale version (full model, 20k points, TPU) is
+tools/quality_gate.py; these tests pin the pieces that make it valid:
+host/device label parity, the scorer's discrimination, the graspability
+gate invariant that calibration showed is easy to silently break, and a
+tiny end-to-end trained-beats-untrained run.
+"""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from graspbalance_tpu.data.synthetic import make_batch
+from graspbalance_tpu.labels import analytic as an
+from graspbalance_tpu.labels.geometry import THRESH_BAD
+from tests.tiny import (
+    TINY_NUM_SEED,
+    TINY_NUM_VIEW,
+    TINY_QUALITY_SCENE,
+    TINY_SCENE,
+    TINY_STAGES,
+)
+
+
+class TestAnalyticLabels:
+    def test_host_and_device_expansion_agree(self):
+        """The numpy tensors the host generator materializes and the jnp
+        tensors the training step expands on device must agree — the
+        device path is what production training consumes."""
+        sc = dataclasses.replace(TINY_SCENE, analytic_labels=True)
+        b = make_batch(0, 2, sc)
+        eb = an.expand_batch_labels(
+            {k: jnp.asarray(b[k]) for k in
+             ("obj_sizes", "grasp_pt_obj", "grasp_pt_mask")},
+            sc.num_views, sc.num_angles, sc.num_depths,
+        )
+        for k in ("grasp_labels", "grasp_widths", "grasp_tolerance"):
+            np.testing.assert_allclose(
+                np.asarray(eb[k]), b[k], rtol=0, atol=2e-7
+            )
+
+    def test_graspable_gate_invariant(self):
+        """>10 template views must clear THRESH_BAD after the log-rescale at
+        BOTH view counts (24 tiny / 300 production) — the _graspable_label
+        gate (labels/losses.py:81). Round-4 calibration broke this twice:
+        with too few good views the model CORRECTLY learns every seed as
+        non-graspable and the gate starves."""
+        for v in (TINY_NUM_VIEW, 300):
+            align, _, u = an._view_grids(v, 12, 4, np)
+            per_view = np.log(an.U_MAX / u).max(axis=(1, 2))  # best (a,d)
+            assert (per_view > THRESH_BAD).sum() > 10, v
+
+    def test_u_max_anchor_saturates(self):
+        """Some graspable (align > ALIGN_MIN) cell must sit exactly at
+        U_MAX so the batch-global u_max rescale has no batch-dependent
+        shift (see ALIGN_MIN comment in labels/analytic.py)."""
+        for v in (TINY_NUM_VIEW, 300):
+            align, _, u = an._view_grids(v, 12, 4, np)
+            graspable_views = align > an.ALIGN_MIN
+            assert np.any(u[graspable_views] == an.U_MAX), v
+
+    def test_graspable_label_equals_objectness_at_tiny_scale(self):
+        """With the analytic rule, the robust graspable label reduces to
+        seed objectness (every object point has >10 good views)."""
+        from graspbalance_tpu.labels.label_gen import process_grasp_labels
+        from graspbalance_tpu.labels.losses import _graspable_label
+
+        sc = dataclasses.replace(TINY_SCENE, analytic_labels=True)
+        b = make_batch(3, 2, sc)
+        jb = {k: jnp.asarray(v) for k, v in b.items()}
+        seed_xyz = jb["point_clouds"][:, :32, :]
+        gl = process_grasp_labels(seed_xyz, jb)
+        seed_obj = jb["objectness_label"][:, :32].astype(jnp.int32)
+        g = _graspable_label(gl["batch_grasp_view_label"], seed_obj)
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(seed_obj))
+
+
+class TestQualityScorer:
+    def _scene(self):
+        b = make_batch(0, 2, dataclasses.replace(
+            TINY_SCENE, analytic_labels=True, emit_label_tensors=False
+        ))
+        return b, b["object_poses"][:, :, :, 3]
+
+    def _grasps_at(self, centers_row, rot, width, depth, g=4):
+        grasps = np.zeros((g, 17), np.float32)
+        grasps[:, 4:13] = rot.reshape(-1)
+        grasps[:, 13:16] = centers_row
+        grasps[:, 1] = width
+        grasps[:, 3] = depth
+        return grasps
+
+    def test_perfect_beats_garbage(self):
+        b, centers = self._scene()
+        # vertical approach (+z), closing +y, right-handed z = x cross y
+        rot = np.array([[0, 0, -1], [0, 1, 0], [1, 0, 0]], np.float32)
+        good = np.stack([
+            self._grasps_at(centers[i, 0], rot, width=0.1, depth=0.01)
+            for i in range(2)
+        ])
+        keep = np.ones((2, 4), bool)
+        qg = an.analytic_grasp_quality(
+            good, keep, centers, b["obj_sizes"], b["obj_mask"]
+        )
+        assert qg["quality_mean"] > 0.7
+        assert qg["good_frac"] == 1.0
+        assert qg["on_object_frac"] == 1.0
+
+        bad = np.zeros((2, 4, 17), np.float32)
+        bad[..., 4:13] = np.eye(3, dtype=np.float32).reshape(-1)
+        bad[..., 13:16] = 5.0  # far off every object
+        qb = an.analytic_grasp_quality(
+            bad, keep, centers, b["obj_sizes"], b["obj_mask"]
+        )
+        assert qb["quality_mean"] == 0.0
+        assert qb["on_object_frac"] == 0.0
+
+    def test_zero_width_fails(self):
+        """An untrained-style grasp (right place, zero opening) scores 0:
+        the gripper cannot admit the object."""
+        b, centers = self._scene()
+        rot = np.array([[0, 0, -1], [0, 1, 0], [1, 0, 0]], np.float32)
+        g = np.stack([
+            self._grasps_at(centers[i, 0], rot, width=0.0, depth=0.01)
+            for i in range(2)
+        ])
+        q = an.analytic_grasp_quality(
+            np.asarray(g), np.ones((2, 4), bool), centers,
+            b["obj_sizes"], b["obj_mask"]
+        )
+        assert q["on_object_frac"] == 1.0
+        assert q["quality_mean"] == 0.0
+
+    def test_sideways_approach_scores_low(self):
+        b, centers = self._scene()
+        # approach +x (horizontal): align = 0 -> not graspable
+        rot = np.eye(3, dtype=np.float32)
+        g = np.stack([
+            self._grasps_at(centers[i, 0], rot, width=0.1, depth=0.01)
+            for i in range(2)
+        ])
+        q = an.analytic_grasp_quality(
+            g, np.ones((2, 4), bool), centers,
+            b["obj_sizes"], b["obj_mask"]
+        )
+        assert q["quality_mean"] == 0.0
+
+    def test_keep_mask_weighting(self):
+        b, centers = self._scene()
+        rot = np.array([[0, 0, -1], [0, 1, 0], [1, 0, 0]], np.float32)
+        g = np.stack([
+            self._grasps_at(centers[i, 0], rot, width=0.1, depth=0.01)
+            for i in range(2)
+        ])
+        keep = np.zeros((2, 4), bool)
+        q = an.analytic_grasp_quality(
+            g, keep, centers, b["obj_sizes"], b["obj_mask"]
+        )
+        assert q["kept"] == 0.0
+        assert q["quality_mean"] == 0.0  # no survivors -> 0, not NaN

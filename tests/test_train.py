@@ -225,6 +225,135 @@ class TestMultichip:
         ge.dryrun_multichip(8)
 
 
+class TestDataTelemetry:
+    def test_truncation_counters_reach_metric_stream(self, tmp_path):
+        """VERDICT r3 #8: a data source exposing .telemetry() (the
+        GraspNet loader's truncation counters, data/dataset.py) must have
+        its counters surfaced in the train JSONL metric stream."""
+        import json as _json
+
+        from graspbalance_tpu.train.config import (
+            Config, DataConfig, ModelConfig, TrainConfig,
+        )
+        from graspbalance_tpu.train.loop import train
+
+        cfg = Config(
+            model=ModelConfig(
+                num_view=TINY_NUM_VIEW, num_seed=TINY_NUM_SEED,
+                backbone_stages=TINY_STAGES,
+            ),
+            data=DataConfig(batch_size=2),
+            train=TrainConfig(
+                max_epoch=1, log_every=1, log_dir=str(tmp_path),
+                n_data_shards=1,
+            ),
+        )
+
+        def train_batches(epoch):
+            for i in range(2):
+                yield make_batch(i, 2, TINY_SCENE)
+
+        train_batches.telemetry = lambda: {
+            "data/truncated_items": 3.0, "data/truncated_points": 99.0,
+        }
+        train(cfg, train_batches, steps_per_epoch=2)
+        lines = [
+            _json.loads(x)
+            for x in open(tmp_path / "train_metrics.jsonl")
+        ]
+        assert any(r.get("data/truncated_items") == 3.0 for r in lines)
+        assert any(r.get("data/truncated_points") == 99.0 for r in lines)
+
+    def test_make_dataloaders_exposes_telemetry(self, tmp_path_factory):
+        from tests.test_data import fabricate_dataset  # reuse the fixture
+
+        import dataclasses
+
+        from graspbalance_tpu.data.dataset import make_dataloaders
+        from graspbalance_tpu.train.config import Config, DataConfig
+
+        root = str(tmp_path_factory.mktemp("graspnet_tele"))
+        fabricate_dataset(root)
+        cfg = Config(data=DataConfig(
+            dataset_root=root, num_points=2048, max_objects=4,
+            max_grasp_points=256, batch_size=1, num_workers=1,
+            precompute_fps=False,
+        ))
+        train_batches, _, _ = make_dataloaders(cfg)
+        t = train_batches.telemetry()
+        assert t == {
+            "data/truncated_items": 0.0, "data/truncated_points": 0.0,
+        }
+
+
+class TestConfigKnobs:
+    """VERDICT r3 #7: trace-time numerics knobs live in the Config tree,
+    are captured by config_to_dict, survive the checkpoint config file, and
+    apply_trace_knobs re-applies them (envs win as A/B overrides)."""
+
+    def test_knobs_roundtrip_through_checkpoint_config(self, tmp_path):
+        import dataclasses
+
+        from graspbalance_tpu.train.checkpoints import (
+            CheckpointManager, load_config,
+        )
+        from graspbalance_tpu.train.config import (
+            Config, ModelConfig, TrainConfig, config_to_dict,
+        )
+
+        cfg = Config(
+            model=ModelConfig(
+                gather_vjp="onehot", query_batch_chunk=8,
+                count_matmul=True, query_extract_group=4,
+                label_impl="reduced",
+            ),
+            train=TrainConfig(opt_flatten=False, log_dir=str(tmp_path)),
+        )
+        d = config_to_dict(cfg)
+        for key in ("gather_vjp", "query_batch_chunk", "count_matmul",
+                    "query_extract_group", "label_impl"):
+            assert key in d["model"], key
+        assert d["train"]["opt_flatten"] is False
+
+        mgr = CheckpointManager(str(tmp_path / "ckpt"))
+        mgr.save_config(cfg)
+        mgr.close()
+        restored = load_config(str(tmp_path / "ckpt"))
+        assert restored == cfg
+
+    def test_apply_trace_knobs_and_env_override(self, monkeypatch):
+        import dataclasses
+
+        from graspbalance_tpu.ops import gather as ops_gather
+        from graspbalance_tpu.ops import query as ops_query
+        from graspbalance_tpu.train.config import Config, ModelConfig
+        from graspbalance_tpu.train.train_step import apply_trace_knobs
+
+        old = (ops_gather._GATHER_VJP, ops_query._COUNT_MATMUL,
+               ops_query._EXTRACT_GROUP, ops_query._DEFAULT_BATCH_CHUNK)
+        try:
+            cfg = Config(model=ModelConfig(
+                gather_vjp="sorted", count_matmul=True,
+                query_extract_group=2,
+            ))
+            apply_trace_knobs(cfg, n_data_shards=2)
+            assert ops_gather._GATHER_VJP == "sorted"
+            assert ops_query._COUNT_MATMUL is True
+            assert ops_query._EXTRACT_GROUP == 2
+            assert ops_query._DEFAULT_BATCH_CHUNK == 8  # 4 * shards
+
+            monkeypatch.setenv("GB_GATHER_VJP", "xla")
+            monkeypatch.setenv("GB_QUERY_BATCH_CHUNK", "16")
+            apply_trace_knobs(cfg, n_data_shards=2)
+            assert ops_gather._GATHER_VJP == "xla"  # env wins
+            assert ops_query._DEFAULT_BATCH_CHUNK == 16
+        finally:
+            ops_gather._GATHER_VJP = old[0]
+            ops_query._COUNT_MATMUL = old[1]
+            ops_query._EXTRACT_GROUP = old[2]
+            ops_query._DEFAULT_BATCH_CHUNK = old[3]
+
+
 class TestMetrics:
     def test_aggregator_lazy_mean(self):
         from graspbalance_tpu.train.metrics import MetricAggregator

@@ -1,5 +1,7 @@
 """Shared tiny model/scene configuration for fast CPU tests."""
 
+import dataclasses
+
 from graspbalance_tpu.data.synthetic import SceneConfig
 
 TINY_STAGES = (
@@ -18,4 +20,15 @@ TINY_SCENE = SceneConfig(
     max_grasp_points=128,
     grasp_points_per_object=24,
     num_objects=3,
+)
+
+# Closed-loop quality-gate scene: analytic (learnable) labels expanded on
+# device, compact clutter so FPS seeds actually sample the objects
+# (labels/analytic.py, data/synthetic.py extent knobs).
+TINY_QUALITY_SCENE = dataclasses.replace(
+    TINY_SCENE,
+    analytic_labels=True,
+    emit_label_tensors=False,
+    table_extent=0.12,
+    object_scatter=0.08,
 )
