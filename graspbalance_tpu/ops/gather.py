@@ -203,6 +203,14 @@ def _dispatch(points, idx):
         return _flat_take_onehot_vjp(points, idx)
     if _GATHER_VJP == "pallas" and points.shape[1] <= _ONEHOT_VJP_MAX_N:
         return _flat_take_pallas_vjp(points, idx)
+    # NOTE round 4: a 'pallas_auto' mode (kernel only at dest<=2048 AND
+    # C>=256, where the micro-bench wins ~1.7x) was built and measured:
+    # full-train e2e it is a WASH (111.9 vs 113.6 ms bs=2 f32 — the
+    # scatters overlap other backward work under XLA's scheduler), and the
+    # f32 full-model grads deterministically mismatched (abs/scale 1.31)
+    # despite exact op-level and hardware parity at every model shape —
+    # withdrawn rather than shipped with an unexplained composition
+    # difference. docs/NOTES.md round-4 entry has the numbers.
     return _flat_take(points, idx)
 
 

@@ -123,6 +123,45 @@ class _Ext:
         ).view(b, c, n, 3)
         return (g * weight.view(b, 1, n, 3)).sum(-1).contiguous()
 
+    # ---- backward surface (interpolate_gpu.cu / group_points_gpu.cu /
+    # sampling_gpu.cu grad kernels, as scatter-adds) — needed for the full
+    # TRAIN step (tools/baseline_train_calibration.py): the reference's
+    # autograd Functions call these in backward (pointnet2_utils.py:72,
+    # :109, :132).
+
+    @staticmethod
+    def gather_points_grad(grad_out, idx, n):  # (B,C,S),(B,S),N -> (B,C,N)
+        b, c, s = grad_out.shape
+        out = torch.zeros(b, c, n, dtype=grad_out.dtype)
+        out.scatter_add_(
+            2, idx.long().unsqueeze(1).expand(-1, c, -1), grad_out
+        )
+        return out
+
+    @staticmethod
+    def group_points_grad(grad_out, idx, n):  # (B,C,S,K),(B,S,K),N
+        b, c, s, k = grad_out.shape
+        out = torch.zeros(b, c, n, dtype=grad_out.dtype)
+        out.scatter_add_(
+            2,
+            idx.long().view(b, 1, s * k).expand(-1, c, -1),
+            grad_out.reshape(b, c, s * k),
+        )
+        return out
+
+    @staticmethod
+    def three_interpolate_grad(grad_out, idx, weight, m):
+        # (B,c,n),(B,n,3),(B,n,3),m -> (B,c,m)
+        b, c, n = grad_out.shape
+        w = grad_out.unsqueeze(-1) * weight.view(b, 1, n, 3)  # (B,c,n,3)
+        out = torch.zeros(b, c, m, dtype=grad_out.dtype)
+        out.scatter_add_(
+            2,
+            idx.long().view(b, 1, n * 3).expand(-1, c, -1),
+            w.reshape(b, c, n * 3),
+        )
+        return out
+
 
 class _BatchCuda:
     """pointnet2_batch_cuda — in-place *_wrapper surface (forward only)."""
@@ -147,6 +186,29 @@ class _BatchCuda:
         idx.copy_(_Ext.ball_query(new_xyz, xyz, radius, nsample))
         return 1
 
+    # backward wrappers (group_points_gpu.cu:86 etc. as scatter-adds) —
+    # needed for the full TRAIN step under the shim
+
+    @staticmethod
+    def group_points_grad_wrapper(b, c, n, npoint, nsample, grad_out, idx,
+                                  grad_features):
+        grad_features.copy_(_Ext.group_points_grad(grad_out, idx, n))
+        return 1
+
+    @staticmethod
+    def gather_points_grad_wrapper(b, c, n, npoint, grad_out, idx,
+                                   grad_features):
+        grad_features.copy_(_Ext.gather_points_grad(grad_out, idx, n))
+        return 1
+
+    @staticmethod
+    def three_interpolate_grad_wrapper(b, c, n, m, grad_out, idx, weight,
+                                       grad_features):
+        grad_features.copy_(
+            _Ext.three_interpolate_grad(grad_out, idx, weight, m)
+        )
+        return 1
+
 
 def install() -> None:
     """Populate the ref_harness extension stubs with working torch ops and
@@ -158,12 +220,15 @@ def install() -> None:
     for name in (
         "furthest_point_sampling", "gather_points", "group_points",
         "ball_query", "cylinder_query", "three_nn", "three_interpolate",
+        "gather_points_grad", "group_points_grad", "three_interpolate_grad",
     ):
         setattr(ext, name, getattr(_Ext, name))
     bc = sys.modules["pointnet2_batch_cuda"]
     for name in (
         "furthest_point_sampling_wrapper", "gather_points_wrapper",
         "group_points_wrapper", "ball_query_wrapper",
+        "group_points_grad_wrapper", "gather_points_grad_wrapper",
+        "three_interpolate_grad_wrapper",
     ):
         setattr(bc, name, getattr(_BatchCuda, name))
 
