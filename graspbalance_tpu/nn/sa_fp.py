@@ -49,19 +49,28 @@ class SetAbstraction(nn.Module):
         features=None,
         *,
         inds=None,
+        query_idx=None,
         train: bool = False,
         bn_momentum=0.1,
     ):
         """xyz (B,N,3); features (B,N,C) or None; inds optional (B,npoint)
-        precomputed FPS indices (the data pipeline may supply them).
+        precomputed FPS indices (the data pipeline may supply them);
+        query_idx optional (B,npoint,nsample) precomputed ball-query
+        indices (the point-axis-sharded path computes them with the exact
+        sharded query and shards this module over centers —
+        parallel/stage1.py; `inds` must be given alongside).
 
         Returns (new_xyz (B,npoint,3), new_feats (B,npoint,C_out), inds)."""
         if inds is None:
             inds = ops.furthest_point_sample(xyz, self.npoint)
         new_xyz = ops.gather_points(xyz, inds)
-        idx = ops.ball_query(
-            xyz, new_xyz, self.radius, self.nsample, order=self.query_order
-        )
+        if query_idx is not None:
+            idx = query_idx
+        else:
+            idx = ops.ball_query(
+                xyz, new_xyz, self.radius, self.nsample,
+                order=self.query_order,
+            )
         # (fusing the xyz+feats gathers into one concatenated-width gather
         # was measured slower on v5e — unaligned rows; keep them split)
         grouped_xyz = ops.group_points(xyz, idx) - new_xyz[:, :, None, :]

@@ -87,6 +87,12 @@ class TrainConfig:
     checkpoint_every_epochs: int = 1
     seed: int = 0
     n_data_shards: int | None = None  # None = all devices
+    # stop the epoch loop after this many epochs WITHOUT changing max_epoch
+    # (so the OneCycle schedule total is unchanged) — simulates preemption
+    # at an epoch boundary for resume-continuity validation. A first
+    # harness that lowered max_epoch instead produced a different LR
+    # schedule for the pre-kill steps and params could never match.
+    stop_after_epochs: int | None = None
     profile_steps: int = 0  # >0: jax.profiler trace that many steps
     # (starting at step `profile_start` of the first epoch, after warmup)
     profile_start: int = 10

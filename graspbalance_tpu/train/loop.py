@@ -178,6 +178,12 @@ def train(
                     ),
                 )
 
+            stop_after = cfg.train.stop_after_epochs
+            if stop_after is not None and epoch + 1 >= stop_after:
+                # simulated preemption (resume-continuity validation): the
+                # LR schedule/config stay those of the full run
+                break
+
         ckpt.close()
         logger.close()
         eval_logger.close()

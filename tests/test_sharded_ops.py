@@ -44,3 +44,34 @@ def test_sharded_fps_exact(rng, skip_origin):
             sharded_fps(mesh, jnp.asarray(pts), m, skip_origin=skip_origin)
         )
     np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_sa_stage1_matches_unsharded(rng):
+    """Point-axis-sharded DRP stage-1 SA forward (parallel/stage1.py):
+    sharded FPS + sharded ball query + the SetAbstraction module itself
+    shard_mapped over centers must reproduce the single-device module
+    exactly (FPS/query indices are exact by construction; the per-center
+    MLP+max math is identical — the center axis is batch-like in every
+    dot, so partitioning it does not reassociate anything)."""
+    from graspbalance_tpu.nn.sa_fp import SetAbstraction
+    from graspbalance_tpu.parallel.stage1 import sharded_sa_forward
+
+    mesh = make_mesh(2, 4)
+    b, n = 2, 512
+    pts = jnp.asarray((rng.random((b, n, 3), dtype=np.float32) - 0.5))
+    sa = SetAbstraction(
+        npoint=64, radius=0.2, nsample=16, mlp=(16, 16, 32),
+        normalize_xyz=True,
+    )
+    variables = sa.init(jax.random.PRNGKey(0), pts, None)
+
+    want_xyz, want_feats, want_inds = sa.apply(variables, pts, None)
+    with mesh:
+        got_xyz, got_feats, got_inds = sharded_sa_forward(
+            mesh, sa, variables, pts
+        )
+    np.testing.assert_array_equal(np.asarray(got_inds), np.asarray(want_inds))
+    np.testing.assert_array_equal(np.asarray(got_xyz), np.asarray(want_xyz))
+    np.testing.assert_allclose(
+        np.asarray(got_feats), np.asarray(want_feats), rtol=1e-6, atol=1e-6
+    )

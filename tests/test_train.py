@@ -240,7 +240,7 @@ class TestResumeContinuity:
         )
         from graspbalance_tpu.train.loop import train
 
-        def mk_cfg(log_dir, max_epoch):
+        def mk_cfg(log_dir, stop_after=None):
             return Config(
                 model=ModelConfig(
                     num_view=TINY_NUM_VIEW, num_seed=TINY_NUM_SEED,
@@ -248,8 +248,8 @@ class TestResumeContinuity:
                 ),
                 data=DataConfig(batch_size=2),
                 train=TrainConfig(
-                    max_epoch=max_epoch, log_dir=log_dir, log_every=10,
-                    n_data_shards=1, seed=7,
+                    max_epoch=3, log_dir=log_dir, log_every=10,
+                    n_data_shards=1, seed=7, stop_after_epochs=stop_after,
                 ),
             )
 
@@ -260,12 +260,13 @@ class TestResumeContinuity:
                 yield make_batch(epoch * steps_per_epoch + i, 2, TINY_SCENE)
 
         # uninterrupted: 3 epochs straight
-        s_full = train(mk_cfg(str(tmp_path / "full"), 3), batches,
+        s_full = train(mk_cfg(str(tmp_path / "full")), batches,
                        steps_per_epoch=steps_per_epoch)
-        # interrupted: 2 epochs, stop, then resume the SAME log_dir to 3
-        train(mk_cfg(str(tmp_path / "resume"), 2), batches,
+        # simulated preemption after epoch 2 (max_epoch stays 3 so the
+        # OneCycle schedule matches), then resume the SAME log_dir
+        train(mk_cfg(str(tmp_path / "resume"), stop_after=2), batches,
               steps_per_epoch=steps_per_epoch)
-        s_res = train(mk_cfg(str(tmp_path / "resume"), 3), batches,
+        s_res = train(mk_cfg(str(tmp_path / "resume")), batches,
                       steps_per_epoch=steps_per_epoch)
 
         assert int(s_res.step) == int(s_full.step) == 6

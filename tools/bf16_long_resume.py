@@ -5,8 +5,9 @@ Three runs on the real TPU, production shape (20k pts, V=300, full model),
 analytic synthetic scenes (real learning signal, labels/analytic.py),
 --dtype bfloat16 production config:
 
-  A  interrupted: 500 steps (2 epochs x 250), checkpointed, then RESUMED
-     from the epoch-2 checkpoint and continued to 1000
+  A  interrupted: stop_after_epochs=2 simulated preemption at step 500
+     (max_epoch stays 4 so the OneCycle schedule matches the full run),
+     checkpointed, then RESUMED from the epoch-2 checkpoint to 1000
   B  uninterrupted: 1000 steps straight
 
 Asserts: (1) the resumed run's f32 params/BN stats BIT-match the
@@ -29,7 +30,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def run(log_dir, max_epoch, steps_per_epoch, bs):
+def run(log_dir, max_epoch, steps_per_epoch, bs, stop_after=None):
     import jax.numpy as jnp  # noqa: F401 (ensures jax configured once)
 
     from graspbalance_tpu.data.synthetic import SceneConfig, make_batch
@@ -47,7 +48,7 @@ def run(log_dir, max_epoch, steps_per_epoch, bs):
         data=DataConfig(analytic_labels=True, batch_size=bs),
         train=TrainConfig(
             max_epoch=max_epoch, log_dir=log_dir, log_every=25,
-            n_data_shards=1, seed=11,
+            n_data_shards=1, seed=11, stop_after_epochs=stop_after,
         ),
     )
 
@@ -76,7 +77,10 @@ def main():
     shutil.rmtree(wd, ignore_errors=True)
 
     t0 = time.time()
-    run(wd + "/interrupted", 2, args.steps_per_epoch, args.bs)  # 500 steps
+    # simulated preemption: SAME max_epoch (same OneCycle total), the loop
+    # just stops after 2 epochs — lowering max_epoch instead changes the
+    # LR schedule of the pre-kill steps and params can never match
+    run(wd + "/interrupted", 4, args.steps_per_epoch, args.bs, stop_after=2)
     print(f"[A1] 500 steps done ({time.time()-t0:.0f}s)", flush=True)
     s_resumed = run(wd + "/interrupted", 4, args.steps_per_epoch, args.bs)
     print(f"[A2] resumed to 1000 ({time.time()-t0:.0f}s)", flush=True)

@@ -28,12 +28,19 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(
 from tiny import TINY_STAGES, TINY_QUALITY_SCENE, TINY_NUM_SEED, TINY_NUM_VIEW  # noqa: E402
 
 
-def main(total_steps=240, bs=2):
-    scene = TINY_QUALITY_SCENE
+def main(total_steps=400, bs=2, pool=4, num_points=768):
+    scene = dataclasses.replace(TINY_QUALITY_SCENE, num_points=num_points)
+    # production-proportioned radii: the TINY_STAGES radii (0.08-0.6) were
+    # tuned for the 0.3-extent legacy scene; on the compact 0.12-extent
+    # quality scene they swallow whole objects at stage 0 and the local
+    # geometry signal for objectness disappears (calibration 2026-08-20)
+    radii = (0.04, 0.10, 0.20, 0.30)
+    wide = tuple((n, radii[i], k, (32, 32, 64), b, 2 * radii[i], k2)
+                 for i, (n, r, k, _, b, r2, k2) in enumerate(TINY_STAGES))
     cfg = Config(
         model=ModelConfig(
             num_view=TINY_NUM_VIEW, num_seed=TINY_NUM_SEED,
-            backbone_stages=TINY_STAGES,
+            backbone_stages=wide,
         ),
         data=DataConfig(analytic_labels=True),
         train=TrainConfig(max_epoch=1, learning_rate=1e-3),
@@ -45,23 +52,31 @@ def main(total_steps=240, bs=2):
     }
 
     q0 = evaluate_quality(model, untrained_vars, scene, num_batches=4,
-                          batch_size=2)
+                          batch_size=2, seed0=1)  # pool scenes (overfit gate)
     print("untrained:", json.dumps(q0), flush=True)
 
     step_fn = ts.make_train_step(model, cfg)
+    pool_batches = [
+        {k: jnp.asarray(v) for k, v in make_batch(1 + i, bs, scene).items()}
+        for i in range(pool)
+    ]
     t0 = time.time()
-    checkpoints = (40, 80, 160, total_steps)
+    checkpoints = (100, 200, 300, total_steps)
     for i in range(total_steps):
-        batch = make_batch(1 + i, bs, scene)
-        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        jb = pool_batches[i % pool]
         state, metrics = step_fn(state, jb, jnp.int32(0))
-        if (i + 1) % 20 == 0:
+        if (i + 1) % 40 == 0:
             print(f"step {i+1} loss {float(metrics['loss/overall_loss']):.4f} "
+                  f"grasp_recall {float(metrics['stage1_graspable_recall']):.2f} "
                   f"({time.time()-t0:.0f}s)", flush=True)
         if (i + 1) in checkpoints:
             tv = {"params": state.params, "batch_stats": state.batch_stats}
-            q = evaluate_quality(model, tv, scene, num_batches=4, batch_size=2)
-            print(f"trained@{i+1}:", json.dumps(q), flush=True)
+            q = evaluate_quality(model, tv, scene, num_batches=4,
+                                 batch_size=2, seed0=1)
+            qh = evaluate_quality(model, tv, scene, num_batches=2,
+                                  batch_size=2, seed0=50_000)
+            print(f"trained@{i+1} pool:", json.dumps(q), flush=True)
+            print(f"trained@{i+1} heldout:", json.dumps(qh), flush=True)
 
 
 if __name__ == "__main__":
