@@ -79,6 +79,80 @@ class TestAnalyticLabels:
         np.testing.assert_array_equal(np.asarray(g), np.asarray(seed_obj))
 
 
+class TestClosedLoop:
+    def test_gate_machinery_runs_and_model_learns(self):
+        """CPU-scale closed-loop coverage: the full gate machinery (train
+        on device-expanded analytic labels -> GraspInference decode -> NMS
+        -> collision -> analytic scoring) runs end-to-end at tiny scale,
+        the training metrics show the analytic labels are genuinely being
+        learned (graspable recall), and the evaluator returns finite
+        metrics for trained and untrained params.
+
+        The quantitative trained >> untrained assertion on DECODED grasps
+        lives in tools/quality_gate.py at production scale (measured 133x
+        at 300 steps, 180x at 1500 — docs/NOTES.md round 4): at tiny scale
+        the eval-mode objectness gate is at the mercy of small-batch BN
+        running-stat variance (B=2, deep stages with ~16 rows/batch;
+        train-BN keeps survivors, eval-BN drops them — round-4
+        calibration), so asserting decode survivorship here would pin the
+        test to BN noise, not to grasp quality."""
+        import dataclasses
+
+        from graspbalance_tpu.eval.quality import evaluate_quality
+        from graspbalance_tpu.train.config import (
+            Config, DataConfig, ModelConfig, TrainConfig,
+        )
+        from graspbalance_tpu.train import train_step as ts
+
+        # production-proportioned radii: TINY_STAGES radii were tuned for
+        # the 0.3-extent legacy scene; on the compact quality scene they
+        # swallow whole objects at stage 0 (round-4 calibration)
+        radii = (0.04, 0.10, 0.20, 0.30)
+        stages = tuple(
+            (n, radii[i], k, m, b, 2 * radii[i], k2)
+            for i, (n, r, k, m, b, r2, k2) in enumerate(TINY_STAGES)
+        )
+        cfg = Config(
+            model=ModelConfig(
+                num_view=TINY_NUM_VIEW, num_seed=TINY_NUM_SEED,
+                backbone_stages=stages,
+            ),
+            data=DataConfig(analytic_labels=True),
+            train=TrainConfig(max_epoch=1),
+        )
+        scene = TINY_QUALITY_SCENE
+        batch0 = make_batch(0, 2, scene)
+        model, state = ts.create_train_state(cfg, 60, batch0)
+        untrained = {
+            "params": state.params, "batch_stats": state.batch_stats
+        }
+        q0 = evaluate_quality(model, untrained, scene, num_batches=1,
+                              batch_size=2)
+        for v in q0.values():
+            assert np.isfinite(v)
+
+        step_fn = ts.make_train_step(model, cfg)
+        pool = [
+            {k: jnp.asarray(v) for k, v in make_batch(1 + i, 2, scene).items()}
+            for i in range(2)
+        ]
+        recalls = []
+        for i in range(60):
+            state, metrics = step_fn(state, pool[i % 2], jnp.int32(0))
+            recalls.append(float(metrics["stage1_graspable_recall"]))
+        assert np.isfinite(float(metrics["loss/overall_loss"]))
+        # the analytic labels are learnable: the graspable classifier must
+        # find positives (max recall over the run — per-step recall is
+        # noisy at tiny scale)
+        assert max(recalls) > 0.2, recalls[-10:]
+
+        trained = {"params": state.params, "batch_stats": state.batch_stats}
+        q1 = evaluate_quality(model, trained, scene, num_batches=1,
+                              batch_size=2)
+        for v in q1.values():
+            assert np.isfinite(v)
+
+
 class TestQualityScorer:
     def _scene(self):
         b = make_batch(0, 2, dataclasses.replace(
