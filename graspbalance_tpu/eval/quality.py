@@ -18,7 +18,10 @@ import dataclasses
 import numpy as np
 
 from graspbalance_tpu.data.synthetic import SceneConfig, make_batch
-from graspbalance_tpu.labels.analytic import analytic_grasp_quality
+from graspbalance_tpu.labels.analytic import (
+    analytic_average_precision,
+    analytic_grasp_quality,
+)
 
 
 def evaluate_quality(
@@ -50,15 +53,17 @@ def evaluate_quality(
     totals = {"quality_mean": 0.0, "good_frac": 0.0, "on_object_frac": 0.0}
     kept_total = 0.0
     scenes_total = 0
+    ap_sum = 0.0
     import jax.numpy as jnp
 
     for i in range(num_batches):
         batch = make_batch(seed0 + i, batch_size, scene_cfg)
         grasps, keep = infer(jnp.asarray(batch["point_clouds"]))
+        centers = batch["object_poses"][:, :, :, 3]
         m = analytic_grasp_quality(
             grasps,
             keep,
-            batch["object_poses"][:, :, :, 3],
+            centers,
             batch["obj_sizes"],
             batch["obj_mask"],
             num_depths=scene_cfg.num_depths,
@@ -66,9 +71,16 @@ def evaluate_quality(
         for k in totals:
             totals[k] += m[k] * m["kept"]
         kept_total += m["kept"]
+        # graspnetAPI-style AP: per-scene top-50 by predicted score,
+        # success = analytic quality over a threshold sweep
+        ap_sum += analytic_average_precision(
+            grasps, keep, centers, batch["obj_sizes"], batch["obj_mask"],
+            num_depths=scene_cfg.num_depths,
+        ) * batch_size
         scenes_total += batch_size
 
     denom = max(kept_total, 1.0)
     out = {k: v / denom for k, v in totals.items()}
     out["kept_per_scene"] = kept_total / max(scenes_total, 1)
+    out["ap_analytic"] = ap_sum / max(scenes_total, 1)
     return out

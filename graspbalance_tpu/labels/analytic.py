@@ -289,3 +289,76 @@ def analytic_grasp_quality(
         ),
         "kept": float(kept),
     }
+
+
+AP_TOP_K = 50  # graspnetAPI ranks the top 50 grasps per scene
+AP_QUALITY_THRESHOLDS = (0.2, 0.4, 0.6, 0.8)  # analytic analogs of the
+# friction-coefficient sweep graspnetAPI averages AP over
+
+
+def analytic_average_precision(
+    grasps, keep, obj_centers, obj_sizes, obj_mask, num_depths: int = 4
+) -> float:
+    """graspnetAPI-style AP under the analytic rule (numpy, per batch).
+
+    Mirrors the structure of the reference's delegated metric
+    (graspnetAPI GraspNetEval: per scene, rank the surviving grasps by
+    predicted score, truncate to the top 50, call each a success if it
+    beats a quality bar, AP = mean of Precision@k for k=1..50 — absent
+    grasps count as failures — then average over the bar sweep). Here the
+    success bar is the ANALYTIC quality (labels/analytic.py rule) at
+    thresholds AP_QUALITY_THRESHOLDS instead of friction-label lookups.
+
+    grasps (B, G, 17), keep (B, G); scene geometry as in
+    analytic_grasp_quality. Returns the scalar AP in [0, 1].
+    """
+    b = grasps.shape[0]
+    ap_sum = 0.0
+    for i in range(b):
+        rows = grasps[i][keep[i]]
+        q = np.zeros((0,), np.float32)
+        if rows.shape[0]:
+            q = _per_grasp_quality(
+                rows, obj_centers[i], obj_sizes[i], obj_mask[i], num_depths
+            )
+            order = np.argsort(-rows[:, 0], kind="stable")  # decode score
+            q = q[order][:AP_TOP_K]
+        scene_ap = 0.0
+        for t in AP_QUALITY_THRESHOLDS:
+            success = (q >= t).astype(np.float64)
+            padded = np.zeros(AP_TOP_K)
+            padded[: success.shape[0]] = success
+            prec_at_k = np.cumsum(padded) / (np.arange(AP_TOP_K) + 1)
+            scene_ap += float(prec_at_k.mean())
+        ap_sum += scene_ap / len(AP_QUALITY_THRESHOLDS)
+    return ap_sum / max(b, 1)
+
+
+def _per_grasp_quality(rows, centers, sizes, mask, num_depths):
+    """(G, 17) decode rows -> (G,) analytic qualities (numpy)."""
+    rot = rows[:, 4:13].reshape(-1, 3, 3)
+    approach = rot[:, :, 0]
+    closing = rot[:, :, 1]
+    center = rows[:, 13:16]
+    width = rows[:, 1]
+    depth = rows[:, 3]
+    disp = np.abs(center[:, None, :] - centers[None, :, :])
+    excess = np.maximum(disp - sizes[None, :, :] / 2.0, 0.0)
+    dist = np.sqrt((excess ** 2).sum(-1))
+    dist = np.where(mask[None, :], dist, 1e9)
+    iobj = dist.argmin(-1)
+    on_object = dist.min(-1) <= ON_OBJECT_DIST
+    nearest_size = sizes[iobj]
+    align = np.clip(approach[:, 2], 0.0, 1.0)
+    _, _, az0 = _frame_axes(approach, np)
+    sin2 = (closing * az0).sum(-1) ** 2
+    d_idx = np.clip(np.round(depth / 0.01) - 1.0, 0, num_depths - 1)
+    u = _friction(align, sin2, d_idx / max(num_depths - 1, 1), np)
+    req = (np.abs(closing) * nearest_size).sum(-1) + WIDTH_MARGIN
+    ok = (
+        on_object & (align > ALIGN_MIN) & (req <= GRASP_MAX_WIDTH)
+        & (width >= 0.9 * req)
+    )
+    return np.where(
+        ok, np.clip(np.log(U_MAX / u) / ALIGN_GAIN, 0.0, 1.0), 0.0
+    ).astype(np.float32)

@@ -223,6 +223,50 @@ class TestQualityScorer:
         )
         assert q["quality_mean"] == 0.0
 
+    def test_analytic_ap_ranking(self):
+        """graspnetAPI-style analytic AP: all-good top-50 scores ~1, empty
+        scores 0, and ranking matters — good grasps ranked ABOVE bad ones
+        (by decode score, column 0) must beat the reverse ordering."""
+        b, centers = self._scene()
+        rot_good = np.array([[0, 0, -1], [0, 1, 0], [1, 0, 0]], np.float32)
+
+        def scene_grasps(order_good_first):
+            g = np.zeros((8, 17), np.float32)
+            for j in range(8):
+                good = j < 4 if order_good_first else j >= 4
+                g[j, 4:13] = (rot_good if good else np.eye(3, dtype=np.float32)).reshape(-1)
+                g[j, 13:16] = centers[0, 0] if good else 5.0
+                g[j, 1] = 0.1
+                g[j, 3] = 0.01
+                # decode score column drives the AP ranking
+                g[j, 0] = 1.0 - j * 0.1
+            return g
+
+        keep = np.ones((1, 8), bool)
+        args = (centers[:1], b["obj_sizes"][:1], b["obj_mask"][:1])
+        ap_good_first = an.analytic_average_precision(
+            scene_grasps(True)[None], keep, *args
+        )
+        ap_bad_first = an.analytic_average_precision(
+            scene_grasps(False)[None], keep, *args
+        )
+        assert ap_good_first > ap_bad_first > 0.0
+
+        # all-good, more grasps than AP_TOP_K is capped and scores 1 at
+        # every threshold the qualities clear
+        g_all = np.stack([scene_grasps(True)[0]] * 60)
+        g_all[:, 0] = 1.0
+        g_all[:, 4:13] = rot_good.reshape(-1)
+        g_all[:, 13:16] = centers[0, 0]
+        ap_full = an.analytic_average_precision(
+            g_all[None], np.ones((1, 60), bool), *args
+        )
+        assert ap_full > 0.9
+        ap_empty = an.analytic_average_precision(
+            g_all[None], np.zeros((1, 60), bool), *args
+        )
+        assert ap_empty == 0.0
+
     def test_keep_mask_weighting(self):
         b, centers = self._scene()
         rot = np.array([[0, 0, -1], [0, 1, 0], [1, 0, 0]], np.float32)
