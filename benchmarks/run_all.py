@@ -73,7 +73,10 @@ def record(results, name, dt, p50, bs, dt_pipelined=None, cost=None):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--configs", default="1,2,3,4", help="comma list of 1-6")
+    # config 6 (the closed-loop quality gate) is in the DEFAULT list
+    # (VERDICT r4 #3b): every benchmark refresh carries a quality number,
+    # so "training stopped producing good grasps" shows up in BENCH_r{N}
+    p.add_argument("--configs", default="1,2,3,4,6", help="comma list of 1-6")
     p.add_argument("--train_bs", type=int, default=8)
     p.add_argument("--loop_steps", type=int, default=10)
     p.add_argument("--quality_steps", type=int, default=800)

@@ -30,6 +30,32 @@ from graspbalance_tpu.models.decode import pred_decode
 from graspbalance_tpu.models.dsn import DSN, cluster
 
 
+def make_postprocess(collision_thresh: float = 0.05):
+    """The shared post-decode stack: grasp NMS + voxel-downsampled
+    collision filter, jitted and batched. Used by GraspInference and by
+    the oracle-ceiling evaluator (eval/quality.evaluate_oracle_quality),
+    so the ceiling runs through EXACTLY the pipeline the model's grasps
+    run through."""
+
+    @jax.jit
+    def _postprocess(grasps, valid, scene):
+        def one(g, v, s):
+            keep = grasp_nms(g, v)
+            # the reference counts occupancy on a 5 mm voxel-downsampled
+            # scene (collision_detector.py:11-14); the IoU threshold is
+            # only meaningful at that density
+            s_ds, s_valid = voxel_downsample_fixed(s)
+            coll = collision_detect(
+                s_ds, g, scene_valid=s_valid,
+                collision_thresh=collision_thresh,
+            )
+            return keep & ~coll
+
+        return jax.vmap(one)(grasps, valid, scene)
+
+    return _postprocess
+
+
 class GraspInference:
     """Bundles a trained GraspBalance (+ optional DSN) for scene inference."""
 
@@ -76,23 +102,7 @@ class GraspInference:
 
             self._segment = _segment
 
-        @jax.jit
-        def _postprocess(grasps, valid, scene):
-            def one(g, v, s):
-                keep = grasp_nms(g, v)
-                # the reference counts occupancy on a 5 mm voxel-downsampled
-                # scene (collision_detector.py:11-14); the IoU threshold is
-                # only meaningful at that density
-                s_ds, s_valid = voxel_downsample_fixed(s)
-                coll = collision_detect(
-                    s_ds, g, scene_valid=s_valid,
-                    collision_thresh=self.collision_thresh,
-                )
-                return keep & ~coll
-
-            return jax.vmap(one)(grasps, valid, scene)
-
-        self._postprocess = _postprocess
+        self._postprocess = make_postprocess(self.collision_thresh)
 
     def __call__(self, cloud: jnp.ndarray, rng=None) -> tuple[np.ndarray, np.ndarray]:
         """cloud (B, N, 3) -> (grasps (B, Ns, 17) np, keep (B, Ns) np)."""

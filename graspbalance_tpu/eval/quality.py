@@ -19,6 +19,8 @@ import numpy as np
 
 from graspbalance_tpu.data.synthetic import SceneConfig, make_batch
 from graspbalance_tpu.labels.analytic import (
+    GRASP_MAX_WIDTH,
+    WIDTH_MARGIN,
     analytic_average_precision,
     analytic_grasp_quality,
 )
@@ -73,6 +75,114 @@ def evaluate_quality(
         kept_total += m["kept"]
         # graspnetAPI-style AP: per-scene top-50 by predicted score,
         # success = analytic quality over a threshold sweep
+        ap_sum += analytic_average_precision(
+            grasps, keep, centers, batch["obj_sizes"], batch["obj_mask"],
+            num_depths=scene_cfg.num_depths,
+        ) * batch_size
+        scenes_total += batch_size
+
+    denom = max(kept_total, 1.0)
+    out = {k: v / denom for k, v in totals.items()}
+    out["kept_per_scene"] = kept_total / max(scenes_total, 1)
+    out["ap_analytic"] = ap_sum / max(scenes_total, 1)
+    return out
+
+
+def oracle_decode_rows(
+    batch: dict, num_seed: int = 1024, num_depths: int = 4
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode rows a PERFECT model would emit for these scenes, generated
+    straight from the analytic label rule (VERDICT r4 #2: the upper anchor
+    for the closed-loop metrics).
+
+    Per scene: one grasp at each labeled grasp point at that point's best
+    (view, angle, depth) under the rule — approach straight down (+z,
+    align=1), in-plane angle 0 (sin^2=0), shallowest depth bin — with
+    width = the object's extent along the closing axis + margin, score =
+    the analytic quality (1.0 when graspable). Rows are ranked graspable
+    first, then topmost (smallest camera-frame z, nearest the visible top
+    face) and truncated to num_seed — the same per-scene grasp budget the
+    model's decode has (Ns seeds). Returns (grasps (B, S, 17) f32,
+    valid (B, S) bool) ready for eval/pipeline.make_postprocess.
+    """
+    centers_o = batch["object_poses"][:, :, :, 3]  # (B, O, 3)
+    sizes = batch["obj_sizes"]  # (B, O, 3)
+    gpts = batch["grasp_points"]  # (B, P, 3) object frame
+    gobj = batch["grasp_pt_obj"].astype(np.int64)  # (B, P)
+    gmask = batch["grasp_pt_mask"].astype(bool)  # (B, P)
+    b, p = gmask.shape
+
+    # approach +z (down, toward the table), closing +y at angle 0 — the
+    # frame batch_viewpoint_params_to_matrix builds for the vertical view
+    # (column layout: rot[:, 0] = approach, rot[:, 1] = closing)
+    rot = np.array([[0, 0, -1], [0, 1, 0], [1, 0, 0]], np.float32)
+
+    grasps = np.zeros((b, num_seed, 17), np.float32)
+    valid = np.zeros((b, num_seed), bool)
+    for i in range(b):
+        world = centers_o[i][gobj[i]] + gpts[i]  # (P, 3)
+        req = sizes[i][gobj[i], 1] + WIDTH_MARGIN  # closing = +y
+        graspable = gmask[i] & (req <= GRASP_MAX_WIDTH)
+        # graspable first, then topmost (smallest z) — stable for ties
+        order = np.lexsort((world[:, 2], ~graspable))
+        order = order[gmask[i][order]][:num_seed]
+        s = order.shape[0]
+        grasps[i, :s, 0] = np.where(graspable[order], 1.0, 0.0)  # score
+        grasps[i, :s, 1] = np.minimum(req[order], GRASP_MAX_WIDTH)
+        grasps[i, :s, 2] = 0.02  # height
+        grasps[i, :s, 3] = 0.01  # shallowest depth bin
+        grasps[i, :s, 4:13] = rot.reshape(-1)
+        grasps[i, :s, 13:16] = world[order]
+        grasps[i, :s, 16] = -1.0
+        valid[i, :s] = graspable[order]
+    return grasps, valid
+
+
+def evaluate_oracle_quality(
+    scene_cfg: SceneConfig,
+    num_batches: int = 4,
+    batch_size: int = 2,
+    seed0: int = 10_000,
+    collision_thresh: float = 0.05,
+    num_seed: int = 1024,
+) -> dict:
+    """The ceiling for evaluate_quality's numbers: push ORACLE grasps
+    (oracle_decode_rows) through the same NMS + collision stack and score
+    them with the same analytic metrics. Reported alongside trained/
+    untrained by tools/quality_gate.py so 'quality_mean 0.77' is readable
+    as a fraction of what a perfect model could score through this
+    pipeline (graspnetAPI leaderboards play this role for the reference's
+    delegated metric, /root/reference/README.md:299-304)."""
+    import jax.numpy as jnp
+
+    from graspbalance_tpu.eval.pipeline import make_postprocess
+
+    postprocess = make_postprocess(collision_thresh)
+    scene_cfg = dataclasses.replace(
+        scene_cfg, analytic_labels=True, emit_label_tensors=False
+    )
+
+    totals = {"quality_mean": 0.0, "good_frac": 0.0, "on_object_frac": 0.0}
+    kept_total = 0.0
+    scenes_total = 0
+    ap_sum = 0.0
+    for i in range(num_batches):
+        batch = make_batch(seed0 + i, batch_size, scene_cfg)
+        grasps, valid = oracle_decode_rows(
+            batch, num_seed=num_seed, num_depths=scene_cfg.num_depths
+        )
+        keep = np.asarray(postprocess(
+            jnp.asarray(grasps), jnp.asarray(valid),
+            jnp.asarray(batch["point_clouds"][..., :3]),
+        ))
+        centers = batch["object_poses"][:, :, :, 3]
+        m = analytic_grasp_quality(
+            grasps, keep, centers, batch["obj_sizes"], batch["obj_mask"],
+            num_depths=scene_cfg.num_depths,
+        )
+        for k in totals:
+            totals[k] += m[k] * m["kept"]
+        kept_total += m["kept"]
         ap_sum += analytic_average_precision(
             grasps, keep, centers, batch["obj_sizes"], batch["obj_mask"],
             num_depths=scene_cfg.num_depths,

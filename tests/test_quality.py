@@ -122,7 +122,7 @@ class TestClosedLoop:
         )
         scene = TINY_QUALITY_SCENE
         batch0 = make_batch(0, 2, scene)
-        model, state = ts.create_train_state(cfg, 60, batch0)
+        model, state = ts.create_train_state(cfg, 100, batch0)
         untrained = {
             "params": state.params, "batch_stats": state.batch_stats
         }
@@ -136,8 +136,21 @@ class TestClosedLoop:
             {k: jnp.asarray(v) for k, v in make_batch(1 + i, 2, scene).items()}
             for i in range(2)
         ]
+        # held-out batch for the quantitative gate below (seed far outside
+        # the training stream)
+        held = {
+            k: jnp.asarray(v) for k, v in make_batch(500, 2, scene).items()
+        }
+        # probe on a COPY: step_fn donates the state buffers, so scoring
+        # the current params on the held-out batch must not consume them
+        def probe(state_):
+            _, m = step_fn(jax.tree.map(jnp.copy, state_), held, jnp.int32(0))
+            return m
+
+        acc_untrained = float(probe(state)["stage1_graspable_acc"])
+
         recalls = []
-        for i in range(60):
+        for i in range(100):
             state, metrics = step_fn(state, pool[i % 2], jnp.int32(0))
             recalls.append(float(metrics["stage1_graspable_recall"]))
         assert np.isfinite(float(metrics["loss/overall_loss"]))
@@ -146,11 +159,56 @@ class TestClosedLoop:
         # noisy at tiny scale)
         assert max(recalls) > 0.2, recalls[-10:]
 
+        # quantitative HELD-OUT gate (VERDICT r4 #3a): the graspable head
+        # must classify seeds on unseen scenes far better trained than
+        # untrained. Scored through the train-step metrics path (batch-BN
+        # forward) because eval-mode BN running stats are pure noise at
+        # B=2/60 steps (docstring above); the head's held-out skill is the
+        # regression signal for "training stopped learning grasps".
+        m_held1 = probe(state)
+        acc_trained = float(m_held1["stage1_graspable_acc"])
+        recall_trained = float(m_held1["stage1_graspable_recall"])
+        assert acc_trained > 0.7, (acc_untrained, acc_trained)
+        assert acc_trained > acc_untrained + 0.1, (acc_untrained, acc_trained)
+        assert recall_trained > 0.3, recall_trained
+
         trained = {"params": state.params, "batch_stats": state.batch_stats}
         q1 = evaluate_quality(model, trained, scene, num_batches=1,
                               batch_size=2)
         for v in q1.values():
             assert np.isfinite(v)
+
+
+class TestDSNClosedLoop:
+    def test_dsn_gate_tiny_trained_beats_untrained(self):
+        """CPU-scale closed-loop gate for the SECOND model family (the
+        DSN->mean-shift balance mechanism, TrainModel/dsn.py:68-113): runs
+        the same tools/dsn_quality_gate.run_dsn_gate the production TPU
+        gate uses, at tiny shapes, and asserts the trained DSN separates
+        foreground and objects far better than the untrained one.
+
+        Deterministic (fixed scene seeds + PRNGKeys, CPU): measured
+        trained fg_iou 0.796 / purity 0.972 vs untrained 0.546 / 0.880.
+        The untrained fg_iou floor (~0.55) is the scene's foreground
+        fraction — an untrained net that predicts everything foreground
+        lands there, which is why the margin assertion matters.
+        cluster_count_err is NOT asserted: at 512 points the mean-shift
+        fragments objects into sub-clusters (purity stays high — the
+        fragments are pure), a tiny-scale artifact the production gate
+        does not show."""
+        from tools.dsn_quality_gate import run_dsn_gate
+
+        res = run_dsn_gate(
+            steps=300, bs=2, num_points=512, eval_batches=2,
+            max_objects=4, num_objects=3,
+            pt_stages=((128, 0.1, 8, 32, 1), (64, 0.2, 8, 64, 1)),
+            log=lambda *_: None,
+        )
+        tr, un = res["trained"], res["untrained"]
+        assert tr["fg_iou"] > 0.7, res
+        assert tr["fg_iou"] > un["fg_iou"] + 0.15, res
+        assert tr["purity"] > 0.93, res
+        assert tr["purity"] > un["purity"], res
 
 
 class TestQualityScorer:

@@ -22,7 +22,14 @@ sys.path.insert(0, REPO)
 
 
 def run_dsn_gate(steps=500, bs=4, num_points=20000, lr=1e-3,
-                 eval_batches=4, max_objects=12, log=print) -> dict:
+                 eval_batches=4, max_objects=12, num_objects=8,
+                 pt_stages=None, log=print) -> dict:
+    """Train a DSN on analytic synthetic scenes, then score the inference
+    path (forward -> fg argmax -> mean-shift cluster) on held-out scenes
+    vs the generator's true instance labels. Defaults = production scale
+    (TPU); tests/test_quality.py TestDSNClosedLoop calls this with tiny
+    shapes on CPU. pt_stages=None uses the DSN default (20k-point) stage
+    table."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -43,10 +50,11 @@ def run_dsn_gate(steps=500, bs=4, num_points=20000, lr=1e-3,
     # of this gate was datagen-bound at ~30 s/step because of it
     scene = SceneConfig(
         num_points=num_points, table_extent=0.15, object_scatter=0.12,
+        num_objects=num_objects, max_objects=max_objects,
         analytic_labels=True, emit_label_tensors=False,
     )
     n_cls = max_objects + 1
-    model = DSN()
+    model = DSN() if pt_stages is None else DSN(pt_stages=pt_stages)
     b0 = make_batch(0, bs, scene)
     cloud0 = jnp.asarray(b0["point_clouds"][..., :3])
     variables = jax.jit(lambda r, c: model.init(r, c, train=True))(
@@ -92,15 +100,31 @@ def run_dsn_gate(steps=500, bs=4, num_points=20000, lr=1e-3,
         labels, _, _ = cluster(cloud, out["center_offsets"], fg, key)
         return out["foreground_logits"], labels
 
-    def evaluate(params, batch_stats):
+    # oracle ceiling: GROUND-TRUTH foreground + offsets through the SAME
+    # mean-shift — what a perfect DSN could score given this clustering
+    # stage and these scenes (compact clutter lets boxes interpenetrate,
+    # so purity < 1 even for perfect predictions)
+    @jax.jit
+    def infer_oracle(cloud, inst, key):
+        true_off = compute_center_offset_labels(cloud, inst, max_objects)
+        labels, _, _ = cluster(cloud, true_off, inst > 0, key)
+        return labels
+
+    def evaluate(params, batch_stats, oracle=False):
         agg = {"fg_iou": 0.0, "purity": 0.0, "cluster_count_err": 0.0}
         for i in range(eval_batches):
             eb = make_batch(2_000_000 + i, bs, scene)
-            fgl, labels = infer(
-                params, batch_stats,
-                jnp.asarray(eb["point_clouds"][..., :3]),
-                jax.random.PRNGKey(7 + i),
-            )
+            cloud = jnp.asarray(eb["point_clouds"][..., :3])
+            key = jax.random.PRNGKey(7 + i)
+            if oracle:
+                inst = jnp.asarray(eb["instance_label"].astype(np.int32))
+                labels = infer_oracle(cloud, inst, key)
+                fg_true = eb["instance_label"] > 0
+                fgl = np.stack(
+                    [~fg_true, fg_true], axis=-1
+                ).astype(np.float32)
+            else:
+                fgl, labels = infer(params, batch_stats, cloud, key)
             m = seg_quality(
                 np.asarray(fgl), np.asarray(labels), eb["instance_label"]
             )
@@ -108,6 +132,8 @@ def run_dsn_gate(steps=500, bs=4, num_points=20000, lr=1e-3,
                 agg[k] += m[k] / eval_batches
         return {k: round(v, 4) for k, v in agg.items()}
 
+    oracle = evaluate(None, None, oracle=True)
+    log(f"oracle: {json.dumps(oracle)}")
     untrained = evaluate(params, batch_stats)
     log(f"untrained: {json.dumps(untrained)}")
 
@@ -136,6 +162,7 @@ def run_dsn_gate(steps=500, bs=4, num_points=20000, lr=1e-3,
         "train_wall_s": round(train_wall, 1),
         "untrained": untrained,
         "trained": trained,
+        "oracle": oracle,
     }
 
 
@@ -146,6 +173,7 @@ def main():
     p.add_argument("--num_points", type=int, default=20000)
     p.add_argument("--eval_batches", type=int, default=4)
     args = p.parse_args()
+    sys.stdout.reconfigure(line_buffering=True)
 
     import jax
 

@@ -46,8 +46,10 @@ def run_gate(steps: int, bs: int, dtype: str, eval_batches: int = 4,
     import jax
     import jax.numpy as jnp
 
-    from graspbalance_tpu.data.synthetic import make_batch
-    from graspbalance_tpu.eval.quality import evaluate_quality
+    from graspbalance_tpu.data.synthetic import SceneConfig, make_batch
+    from graspbalance_tpu.eval.quality import (
+        evaluate_oracle_quality, evaluate_quality,
+    )
     from graspbalance_tpu.train.config import (
         Config, DataConfig, ModelConfig, TrainConfig,
     )
@@ -112,6 +114,37 @@ def run_gate(steps: int, bs: int, dtype: str, eval_batches: int = 4,
     trained = q(state)
     log(f"trained: {json.dumps(trained)}")
 
+    # oracle ceiling (VERDICT r4 #2): perfect-rule grasps through the SAME
+    # NMS + collision stack, on the SAME held-out scenes — the trained
+    # numbers are reported as a fraction of this pipeline-mechanical cap
+    oracle = evaluate_oracle_quality(
+        scene, num_batches=eval_batches, batch_size=bs, seed0=1_000_000,
+    )
+    log(f"oracle: {json.dumps(oracle)}")
+
+    # cross-distribution eval (VERDICT r4 #7): the model trained on
+    # compact-clutter scenes scored on DEFAULT-extent scenes (wider table,
+    # wider scatter, same physics) — learning geometry, not the generator
+    xdist_scene = SceneConfig(
+        num_points=num_points, analytic_labels=True,
+        emit_label_tensors=False,
+    )
+    trained_xdist = {
+        k: round(v, 4) if isinstance(v, float) else v
+        for k, v in evaluate_quality(
+            eval_model,
+            {"params": state.params, "batch_stats": state.batch_stats},
+            xdist_scene, num_batches=eval_batches, batch_size=bs,
+            seed0=3_000_000,
+        ).items()
+    }
+    oracle_xdist = evaluate_oracle_quality(
+        xdist_scene, num_batches=eval_batches, batch_size=bs,
+        seed0=3_000_000,
+    )
+    log(f"trained_xdist: {json.dumps(trained_xdist)}")
+    log(f"oracle_xdist: {json.dumps(oracle_xdist)}")
+
     return {
         "config": "quality_gate_synthetic",
         "steps": steps,
@@ -122,10 +155,19 @@ def run_gate(steps: int, bs: int, dtype: str, eval_batches: int = 4,
         "last_loss": round(last_loss, 3),
         "untrained": untrained,
         "trained": trained,
+        "oracle": oracle,
+        "trained_xdist": trained_xdist,
+        "oracle_xdist": oracle_xdist,
         # the gate judgment: trained decoded grasps must far outscore
         # untrained under the analytic rule that generated the labels
         "gate_ratio": round(
             trained["quality_mean"] / max(untrained["quality_mean"], 1e-6), 2
+        ),
+        "quality_frac_of_oracle": round(
+            trained["quality_mean"] / max(oracle["quality_mean"], 1e-6), 3
+        ),
+        "ap_frac_of_oracle": round(
+            trained["ap_analytic"] / max(oracle["ap_analytic"], 1e-6), 3
         ),
     }
 
