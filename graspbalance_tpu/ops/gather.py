@@ -206,11 +206,12 @@ def _dispatch(points, idx):
     # NOTE round 4: a 'pallas_auto' mode (kernel only at dest<=2048 AND
     # C>=256, where the micro-bench wins ~1.7x) was built and measured:
     # full-train e2e it is a WASH (111.9 vs 113.6 ms bs=2 f32 — the
-    # scatters overlap other backward work under XLA's scheduler), and the
-    # f32 full-model grads deterministically mismatched (abs/scale 1.31)
-    # despite exact op-level and hardware parity at every model shape —
-    # withdrawn rather than shipped with an unexplained composition
-    # difference. docs/NOTES.md round-4 entry has the numbers.
+    # scatters overlap other backward work under XLA's scheduler), so it
+    # stays withdrawn on perf grounds. The round-4 "unexplained 1.31x f32
+    # grad mismatch" it carried was ROOT-CAUSED in round 5: the kernel's
+    # f32 MXU dot ran at default precision (single bf16 pass); fixed with
+    # Precision.HIGHEST in scatter_kernel.py — see the precision comment
+    # there and tools/repro_scatter_vjp.py.
     return _flat_take(points, idx)
 
 

@@ -55,8 +55,22 @@ def _scatter_kernel(
     )
     onehot_t = (dest == rows).astype(compute_dtype)  # (tile_n, row_chunk)
     ct = ct_ref[0].astype(compute_dtype)  # (row_chunk, C)
+    # HIGHEST precision is load-bearing for compute_dtype=f32: at default
+    # precision Mosaic runs the f32 dot as a SINGLE bf16 MXU pass, which
+    # rounds the cotangent mantissas to ~2^-9 relative — the root cause of
+    # the round-4 "1.31x composition mismatch" (integer-cotangent parity
+    # tests masked it: small integers are exact in bf16). Measured on v5e
+    # 2026-08-20: stage-op grad diff vs the XLA scatter 1.9e-3 of scale at
+    # default precision -> reassociation-level with HIGHEST
+    # (tools/repro_scatter_vjp.py). bf16 compute_dtype keeps one pass.
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if compute_dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
     out_ref[0] += jax.lax.dot(
-        onehot_t, ct, preferred_element_type=jnp.float32
+        onehot_t, ct, preferred_element_type=jnp.float32,
+        precision=precision,
     )
 
 

@@ -462,6 +462,32 @@ class TestPallasInterpret:
                 )
                 np.testing.assert_array_equal(got, want)
 
+    def test_scatter_kernel_float_cotangents(self, rng):
+        """Float-valued cotangents must agree with the scatter to
+        reassociation tolerance — NOT just integers. Round-4's
+        integer-only parity masked a real hardware bug: the kernel's f32
+        MXU dot ran at default precision (single bf16 pass, ~2^-9
+        relative mantissa loss — the '1.31x composition mismatch');
+        small integers are exact in bf16 so integer tests passed. Fixed
+        by forcing Precision.HIGHEST for compute_dtype=f32; the
+        hardware-level check lives in tools/repro_scatter_vjp.py."""
+        from graspbalance_tpu.ops.pallas.scatter_kernel import (
+            scatter_add_matmul,
+        )
+
+        b, r, n, c = 2, 2048, 256, 17
+        ct = rng.standard_normal((b, r, c)).astype(np.float32)
+        idx = rng.integers(0, n, (b, r)).astype(np.int32)
+        want = np.zeros((b, n, c), np.float64)
+        for bi in range(b):
+            np.add.at(want[bi], idx[bi], ct[bi].astype(np.float64))
+        got = np.asarray(
+            scatter_add_matmul(
+                jnp.asarray(ct), jnp.asarray(idx), n, interpret=True,
+            )
+        )
+        np.testing.assert_allclose(got, want, atol=2e-5, rtol=0)
+
     def test_pallas_vjp_matches_xla(self, rng):
         """set_gather_vjp('pallas') backward == the XLA scatter-add VJP
         (exact for integer cotangents), including the large-N fallback."""
