@@ -66,13 +66,24 @@ class LocalAggregation(nn.Module):
         raise ValueError(f"unknown reduction {self.reduction}")
 
     @nn.compact
-    def __call__(self, xyz, feats, *, train: bool, bn_momentum=0.1):
-        if self.grouper == "ballquery":
+    def __call__(self, xyz, feats, *, train: bool, bn_momentum=0.1,
+                 centers=None, center_feats=None, query_idx=None):
+        """Self-aggregation over (xyz, feats). Optional chunked-centers
+        form (the point-axis-sharded path, parallel/backbone.py): `centers`
+        (B, M, 3) / `center_feats` (B, M, C) restrict the OUTPUT rows to a
+        subset while `xyz`/`feats` stay the full support — every op below
+        is row-local over centers, so a chunked call bit-matches the
+        corresponding rows of the full call."""
+        cx = xyz if centers is None else centers
+        cf = feats if center_feats is None else center_feats
+        if query_idx is not None:
+            idx = query_idx
+        elif self.grouper == "ballquery":
             idx = ops.ball_query(
-                xyz, xyz, self.radius, self.nsample, order=self.query_order
+                xyz, cx, self.radius, self.nsample, order=self.query_order
             )
         elif self.grouper == "knn":
-            _, idx = ops.knn(xyz, xyz, self.nsample)
+            _, idx = ops.knn(xyz, cx, self.nsample)
         else:
             raise ValueError(f"unknown grouper {self.grouper}")
 
@@ -85,7 +96,7 @@ class LocalAggregation(nn.Module):
         if self.feature_type == "dp_fj" and fused_eval_ok(self, train, self.nsample):
             # fused eval: conv+BN+ReLU+reduce VMEM-resident, dp|fj concat
             # never materializes (per-part layer-0 split)
-            dp = ops.group_points(xyz, idx) - xyz[:, :, None, :]
+            dp = ops.group_points(xyz, idx) - cx[:, :, None, :]
             fj = ops.group_points(feats, idx)
             dp = dp.astype(fj.dtype)
             ((w0, b0),) = fold_bn_layers(
@@ -118,7 +129,7 @@ class LocalAggregation(nn.Module):
             cat = jnp.concatenate([xyz.astype(feats.dtype), feats], axis=-1)
             e = blk(cat, train=train, bn_momentum=bn_momentum, stage="dense")
             zcat = jnp.concatenate(
-                [xyz.astype(feats.dtype), jnp.zeros_like(feats)], axis=-1
+                [cx.astype(cf.dtype), jnp.zeros_like(cf)], axis=-1
             )
             cw = blk(zcat, train=train, bn_momentum=bn_momentum, stage="dense")
             pre = ops.group_points(e, idx) - cw[:, :, None, :]
@@ -128,23 +139,23 @@ class LocalAggregation(nn.Module):
         # NOTE: gathering xyz+feats as one concatenated (3+C)-wide gather
         # was measured SLOWER on v5e (backbone 30 -> 35 ms) — unaligned
         # 131-float rows gather worse than two aligned gathers. Keep split.
-        dp = ops.group_points(xyz, idx) - xyz[:, :, None, :]  # (B,N,K,3)
-        fj = ops.group_points(feats, idx)  # (B,N,K,C)
+        dp = ops.group_points(xyz, idx) - cx[:, :, None, :]  # (B,M,K,3)
+        fj = ops.group_points(feats, idx)  # (B,M,K,C)
         dp = dp.astype(fj.dtype)
 
         if self.feature_type == "dp_fj":
             grouped = jnp.concatenate([dp, fj], axis=-1)
         elif self.feature_type == "dp_fj_df":
-            df = fj - feats[:, :, None, :]
+            df = fj - cf[:, :, None, :]
             grouped = jnp.concatenate([dp, fj, df], axis=-1)
         elif self.feature_type == "pi_dp_fj_df":
-            df = fj - feats[:, :, None, :]
+            df = fj - cf[:, :, None, :]
             pi = jnp.broadcast_to(
-                xyz[:, :, None, :].astype(fj.dtype), dp.shape
+                cx[:, :, None, :].astype(fj.dtype), dp.shape
             )
             grouped = jnp.concatenate([pi, dp, fj, df], axis=-1)
         elif self.feature_type == "dp_df":
-            df = fj - feats[:, :, None, :]
+            df = fj - cf[:, :, None, :]
             grouped = jnp.concatenate([dp, df], axis=-1)
         else:
             raise ValueError(f"unknown feature_type {self.feature_type}")
@@ -167,8 +178,13 @@ class InvResMLP(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, xyz, feats, *, train: bool, bn_momentum=0.1):
-        identity = feats
+    def __call__(self, xyz, feats, *, train: bool, bn_momentum=0.1,
+                 centers=None, center_feats=None, query_idx=None):
+        """Optional chunked-centers form (point-axis-sharded path): with
+        `centers`/`center_feats` the block computes only those output rows
+        against the full (xyz, feats) support — bit-equal to the matching
+        rows of the full call (every op is row-local over centers)."""
+        identity = feats if center_feats is None else center_feats
         f = LocalAggregation(
             self.channels,
             self.radius,
@@ -176,7 +192,8 @@ class InvResMLP(nn.Module):
             query_order=self.query_order,
             dtype=self.dtype,
             name="local_agg",
-        )(xyz, feats, train=train, bn_momentum=bn_momentum)
+        )(xyz, feats, train=train, bn_momentum=bn_momentum,
+          centers=centers, center_feats=center_feats, query_idx=query_idx)
         f = MLPBlock(
             self.channels * self.expansion, dtype=self.dtype, name="pw1"
         )(f, train=train, bn_momentum=bn_momentum)
