@@ -57,9 +57,6 @@ def _load_variables(args, cfg):
         saved = load_config(args.checkpoint_dir)
         if saved is not None:
             cfg = dataclasses.replace(saved, data=cfg.data)
-        from graspbalance_tpu.train.train_step import apply_trace_knobs
-
-        apply_trace_knobs(cfg)  # restore the checkpoint's numerics knobs
         variables, step = load_inference_variables(args.checkpoint_dir, best=args.best)
         print(f"restored checkpoint step {step}")
         return variables, cfg
@@ -110,6 +107,14 @@ def main(argv=None):
 
         cfg = Config(data=DataConfig(num_points=args.num_point))
         variables, cfg = _load_variables(args, cfg)
+        # apply trace-time numerics knobs unconditionally on the FINAL cfg
+        # (advisor r4: the checkpoint branch used to apply them mid-load and
+        # the ported/no-checkpoint paths not at all), with the eval-side
+        # data-shard count (single-host inference: 1) so a checkpoint
+        # trained on a sharded mesh doesn't impose its wider query chunking
+        from graspbalance_tpu.train.train_step import apply_trace_knobs
+
+        apply_trace_knobs(cfg, n_data_shards=1)
         model = build_model(cfg)
         infer = GraspInference(
             model, variables, collision_thresh=args.collision_thresh

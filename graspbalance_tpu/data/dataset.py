@@ -124,7 +124,12 @@ class GraspNetDataset:
         self.epoch = 0  # set by the loader per epoch; varies augmentation
         # truncation telemetry: counts of items whose per-object desired
         # grasp-point total exceeded max_grasp_points (labels were then
-        # proportionally shrunk, see __getitem__) and of points dropped
+        # proportionally shrunk, see __getitem__) and of points dropped.
+        # Incremented from ThreadPoolExecutor workers (_batched with
+        # num_workers > 1), so the read-modify-write needs the lock
+        import threading
+
+        self._telemetry_lock = threading.Lock()
         self.truncated_items = 0
         self.truncated_points = 0
 
@@ -292,8 +297,9 @@ class GraspNetDataset:
             rem = scaled - takes * total
             for j in np.argsort(-rem)[: p_max - int(takes.sum())]:
                 takes[j] += 1
-            self.truncated_items += 1
-            self.truncated_points += total - p_max
+            with self._telemetry_lock:
+                self.truncated_items += 1
+                self.truncated_points += total - p_max
 
         slot, cursor = 0, 0
         for (i, points, widths, scores, tolerance, coll), take in zip(

@@ -103,14 +103,42 @@ def train(
     if steps_per_epoch is None:
         steps_per_epoch = sum(1 for _ in train_batches(0))
 
+    # Resume reconciliation (advisor r4, medium): a checkpoint's config.json
+    # records the numerics-affecting state it was trained under — resuming
+    # with different trace knobs would silently continue under different
+    # numerics AND rewrite that record. On resume, require the caller's
+    # model config to match the stored one; only (re)write config.json when
+    # starting fresh or when none exists (pre-round-3 checkpoints).
+    import dataclasses as _dc
+
+    from graspbalance_tpu.train.checkpoints import load_config
+
+    ckpt_dir = cfg.train.log_dir + "/checkpoints"
+    ckpt = CheckpointManager(ckpt_dir)
+    stored_cfg = load_config(ckpt_dir)
+    if ckpt.latest_step() is not None and stored_cfg is not None:
+        mismatched = [
+            f.name
+            for f in _dc.fields(type(cfg.model))
+            if getattr(stored_cfg.model, f.name) != getattr(cfg.model, f.name)
+        ]
+        if mismatched:
+            raise ValueError(
+                "resume config mismatch: this run's model config differs "
+                f"from the checkpoint's stored config on {mismatched} "
+                f"({ckpt_dir}/config.json). Resuming under different "
+                "numerics knobs silently changes training numerics — use "
+                "the stored values or a fresh log_dir."
+            )
+    else:
+        ckpt.save_config(cfg)  # lets infer.py rebuild the matching model
+
     transfers = TransferCache()
     with mesh:
         model, state = create_train_state(cfg, steps_per_epoch, sample)
         train_step = make_train_step(model, cfg)
         eval_step = make_eval_step(model, cfg)
 
-        ckpt = CheckpointManager(cfg.train.log_dir + "/checkpoints")
-        ckpt.save_config(cfg)  # lets infer.py rebuild the matching model
         state, extra = ckpt.restore(state)
         start_epoch = int(extra.get("epoch", 0)) if extra else (
             int(state.step) // steps_per_epoch

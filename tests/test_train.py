@@ -281,6 +281,47 @@ class TestResumeContinuity:
         ):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_resume_with_mismatched_knobs_errors(self, tmp_path):
+        """Advisor r4 (medium): resuming a checkpointed run with different
+        trace-time numerics knobs must ERROR instead of silently training
+        under different numerics and rewriting the checkpoint's stored
+        config record."""
+        import dataclasses
+
+        import pytest
+
+        from graspbalance_tpu.train.config import (
+            Config, DataConfig, ModelConfig, TrainConfig,
+        )
+        from graspbalance_tpu.train.loop import train
+
+        cfg = Config(
+            model=ModelConfig(
+                num_view=TINY_NUM_VIEW, num_seed=TINY_NUM_SEED,
+                backbone_stages=TINY_STAGES,
+            ),
+            data=DataConfig(batch_size=2),
+            train=TrainConfig(
+                max_epoch=2, log_dir=str(tmp_path / "run"), log_every=10,
+                n_data_shards=1, seed=7, stop_after_epochs=1,
+            ),
+        )
+
+        def batches(epoch):
+            yield make_batch(epoch, 2, TINY_SCENE)
+
+        train(cfg, batches, steps_per_epoch=1)
+        bad = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, count_matmul=True)
+        )
+        with pytest.raises(ValueError, match="count_matmul"):
+            train(bad, batches, steps_per_epoch=1)
+        # stored config must still record the ORIGINAL knobs
+        from graspbalance_tpu.train.checkpoints import load_config
+
+        stored = load_config(str(tmp_path / "run" / "checkpoints"))
+        assert stored.model.count_matmul is False
+
 
 class TestDataTelemetry:
     def test_truncation_counters_reach_metric_stream(self, tmp_path):
