@@ -53,7 +53,15 @@ def main():
         jax.random.PRNGKey(0), {"point_clouds": cloud[:1]}
     )
 
-    @jax.jit
+    # scoped-VMEM fusion budget: measured +5% on this exact graph
+    # (tools/bench_xla_flags.py sweep; utils/compile_opts.py)
+    import functools
+
+    from graspbalance_tpu.utils.compile_opts import tpu_compiler_options
+
+    @functools.partial(
+        jax.jit, compiler_options=tpu_compiler_options("eval")
+    )
     def forward(variables, cloud):
         ep = model.apply(variables, {"point_clouds": cloud}, train=False)
         grasps, valid = pred_decode(ep)

@@ -101,6 +101,15 @@ def main():
     from graspbalance_tpu.train import train_step as ts
 
     from benchmarks.roofline import xla_cost
+    import functools
+
+    from graspbalance_tpu.utils.compile_opts import tpu_compiler_options
+
+    # eval-graph jits carry the measured scoped-VMEM fusion budget
+    # (+5% headline, tools/bench_xla_flags.py; utils/compile_opts.py)
+    eval_jit = functools.partial(
+        jax.jit, compiler_options=tpu_compiler_options("eval")
+    )
 
     rng = np.random.default_rng(0)
     results = []
@@ -112,7 +121,7 @@ def main():
         v = jax.jit(lambda r, c: drp.init(r, c, train=False))(
             jax.random.PRNGKey(0), cloud
         )
-        f = jax.jit(
+        f = eval_jit(
             lambda v, c: jnp.sum(drp.apply(v, c, train=False)["fp2_features"])
         )
         dt, p50 = timed(lambda: float(f(v, cloud)))
@@ -141,7 +150,7 @@ def main():
                 jax.random.PRNGKey(1), cloud[:1]
             )
 
-            @jax.jit
+            @eval_jit
             def f2(v, dv, c, key):
                 # one FPS feeds both backbones (nested-prefix property;
                 # same sharing as eval/pipeline.py GraspInference)
@@ -166,7 +175,7 @@ def main():
             record(results, "full_forward_dsn_obs_bs4", dt, p50, bs, dt_p,
                    cost=xla_cost(f2, v, dv, cloud, key))
         if 3 in which:
-            @jax.jit
+            @eval_jit
             def f3(v, c):
                 ep = model.apply(v, {"point_clouds": c}, train=False)
                 grasps, valid = pred_decode(ep)

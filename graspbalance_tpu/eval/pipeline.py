@@ -16,6 +16,7 @@ are present.
 
 from __future__ import annotations
 
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -28,6 +29,7 @@ from graspbalance_tpu.eval.collision import (
 from graspbalance_tpu.eval.nms import grasp_nms
 from graspbalance_tpu.models.decode import pred_decode
 from graspbalance_tpu.models.dsn import DSN, cluster
+from graspbalance_tpu.utils.compile_opts import tpu_compiler_options
 
 
 def make_postprocess(collision_thresh: float = 0.05):
@@ -37,7 +39,9 @@ def make_postprocess(collision_thresh: float = 0.05):
     so the ceiling runs through EXACTLY the pipeline the model's grasps
     run through."""
 
-    @jax.jit
+    @functools.partial(
+        jax.jit, compiler_options=tpu_compiler_options("eval")
+    )
     def _postprocess(grasps, valid, scene):
         def one(g, v, s):
             keep = grasp_nms(g, v)
@@ -68,7 +72,9 @@ class GraspInference:
         self.use_obs = use_obs and dsn is not None
         self.collision_thresh = collision_thresh
 
-        @jax.jit
+        @functools.partial(
+            jax.jit, compiler_options=tpu_compiler_options("eval")
+        )
         def _forward(variables, batch):
             ep = model.apply(variables, batch, train=False)
             grasps, valid = pred_decode(ep)
@@ -88,7 +94,9 @@ class GraspInference:
             n0_model = (getattr(model, "backbone_stages", None) or DRP_STAGES)[0][0]
             n0 = max(n0_dsn, n0_model)
 
-            @jax.jit
+            @functools.partial(
+                jax.jit, compiler_options=tpu_compiler_options("eval")
+            )
             def _segment(dsn_vars, cloud, rng):
                 sa_full = ops.furthest_point_sample(cloud[..., :3], n0)
                 ep = dsn.apply(

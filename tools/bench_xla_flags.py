@@ -32,7 +32,10 @@ CANDIDATES = [
     # canary: absurdly small scoped VMEM must visibly change compilation
     ("canary_scoped_vmem_4m", {"xla_tpu_scoped_vmem_limit_kib": "4096"}),
     # more VMEM headroom for fusions (default ~16 MiB)
+    ("scoped_vmem_24m", {"xla_tpu_scoped_vmem_limit_kib": "24576"}),
     ("scoped_vmem_32m", {"xla_tpu_scoped_vmem_limit_kib": "32768"}),
+    ("scoped_vmem_40m", {"xla_tpu_scoped_vmem_limit_kib": "40960"}),
+    ("scoped_vmem_48m", {"xla_tpu_scoped_vmem_limit_kib": "49152"}),
     ("scoped_vmem_64m", {"xla_tpu_scoped_vmem_limit_kib": "65536"}),
     # reduce+writeback fusion: the count-reduce consumers pin the class
     # plane C-minor — disabling rwb fusion may change that grouping
@@ -57,6 +60,10 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--only", default="", help="comma list of names to run")
+    p.add_argument("--target", default="forward",
+                   choices=["forward", "train"],
+                   help="graph to sweep: headline eval forward or the "
+                        "bs=2 f32 train step (value_and_grad + Adam)")
     args = p.parse_args()
     sys.stdout.reconfigure(line_buffering=True)
 
@@ -69,27 +76,54 @@ def main():
 
     from graspbalance_tpu.data.synthetic import SceneConfig, make_batch
     from graspbalance_tpu.models.decode import pred_decode
-    from graspbalance_tpu.train.config import Config
+    from graspbalance_tpu.train.config import Config, DataConfig
     from graspbalance_tpu.train.train_step import build_model
 
-    cfg = Config()
-    model = build_model(cfg)
-    bs = 4
-    cloud = jnp.asarray(
-        make_batch(0, bs, SceneConfig(num_points=cfg.data.num_points))[
-            "point_clouds"
-        ]
-    )
-    variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
-        jax.random.PRNGKey(0), {"point_clouds": cloud[:1]}
-    )
+    if args.target == "train":
+        from graspbalance_tpu.train import train_step as ts
 
-    def forward(variables, cloud):
-        ep = model.apply(variables, {"point_clouds": cloud}, train=False)
-        grasps, valid = pred_decode(ep)
-        return jnp.sum(grasps) + jnp.sum(valid)
+        bs = 2
+        cfg = Config(data=DataConfig(analytic_labels=True, batch_size=bs))
+        scene = SceneConfig(
+            num_points=cfg.data.num_points, analytic_labels=True,
+            emit_label_tensors=False, table_extent=0.15,
+            object_scatter=0.12,
+        )
+        batch_np = make_batch(0, bs, scene)
+        model, state = ts.create_train_state(cfg, 100, batch_np)
+        batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
 
-    lowered = jax.jit(forward).lower(variables, cloud)
+        raw_step = ts.make_train_step(model, cfg)
+        lowered = raw_step.lower(state, batch, jnp.int32(0))
+
+        def run_compiled(compiled):
+            # the step donates the state: rebind so repeated calls stay valid
+            nonlocal state
+            state, metrics = compiled(state, batch, jnp.int32(0))
+            return metrics["loss/overall_loss"]
+    else:
+        cfg = Config()
+        model = build_model(cfg)
+        bs = 4
+        cloud = jnp.asarray(
+            make_batch(0, bs, SceneConfig(num_points=cfg.data.num_points))[
+                "point_clouds"
+            ]
+        )
+        variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
+            jax.random.PRNGKey(0), {"point_clouds": cloud[:1]}
+        )
+
+        def forward(variables, cloud):
+            ep = model.apply(variables, {"point_clouds": cloud}, train=False)
+            grasps, valid = pred_decode(ep)
+            return jnp.sum(grasps) + jnp.sum(valid)
+
+        lowered = jax.jit(forward).lower(variables, cloud)
+
+        def run_compiled(compiled):
+            return compiled(variables, cloud)
+
     only = {x for x in args.only.split(",") if x}
 
     results = []
@@ -107,12 +141,12 @@ def main():
             continue
         compile_s = time.time() - t0
         try:
-            float(compiled(variables, cloud))  # warmup / execute check
+            float(jnp.sum(run_compiled(compiled)))  # warmup / execute check
             t0 = time.perf_counter()
             acc = None
             for _ in range(args.iters):
-                acc = compiled(variables, cloud)
-            float(acc)
+                acc = run_compiled(compiled)
+            float(jnp.sum(acc))
             dt = (time.perf_counter() - t0) / args.iters
         except Exception as e:  # noqa: BLE001
             row = {"name": name, "opts": opts, "status": "run_error",
