@@ -12,6 +12,7 @@ Run on the TPU: python tools/dsn_quality_gate.py --steps 500
 """
 
 import argparse
+import dataclasses
 import json
 import os
 import sys
@@ -110,10 +111,12 @@ def run_dsn_gate(steps=500, bs=4, num_points=20000, lr=1e-3,
         labels, _, _ = cluster(cloud, true_off, inst > 0, key)
         return labels
 
-    def evaluate(params, batch_stats, oracle=False):
+    def evaluate(params, batch_stats, oracle=False, eval_scene=None,
+                 seed0=2_000_000):
+        eval_scene = eval_scene or scene
         agg = {"fg_iou": 0.0, "purity": 0.0, "cluster_count_err": 0.0}
         for i in range(eval_batches):
-            eb = make_batch(2_000_000 + i, bs, scene)
+            eb = make_batch(seed0 + i, bs, eval_scene)
             cloud = jnp.asarray(eb["point_clouds"][..., :3])
             key = jax.random.PRNGKey(7 + i)
             if oracle:
@@ -155,6 +158,21 @@ def run_dsn_gate(steps=500, bs=4, num_points=20000, lr=1e-3,
 
     trained = evaluate(params, batch_stats)
     log(f"trained: {json.dumps(trained)}")
+
+    # mild cross-distribution: same extents, different clutter count —
+    # did the DSN learn objects, or these scenes? (VERDICT r4 #7 parity
+    # with the grasp gate)
+    xdist_scene = dataclasses.replace(
+        scene, num_objects=max(num_objects - 3, 2)
+    )
+    trained_xdist = evaluate(
+        params, batch_stats, eval_scene=xdist_scene, seed0=3_000_000
+    )
+    oracle_xdist = evaluate(
+        None, None, oracle=True, eval_scene=xdist_scene, seed0=3_000_000
+    )
+    log(f"trained_xdist: {json.dumps(trained_xdist)}")
+    log(f"oracle_xdist: {json.dumps(oracle_xdist)}")
     return {
         "config": "dsn_quality_gate_synthetic",
         "steps": steps,
@@ -163,6 +181,8 @@ def run_dsn_gate(steps=500, bs=4, num_points=20000, lr=1e-3,
         "untrained": untrained,
         "trained": trained,
         "oracle": oracle,
+        "trained_xdist": trained_xdist,
+        "oracle_xdist": oracle_xdist,
     }
 
 
