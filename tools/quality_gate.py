@@ -42,7 +42,8 @@ def gate_scene(num_points: int = 20000):
 
 
 def run_gate(steps: int, bs: int, dtype: str, eval_batches: int = 4,
-             num_points: int = 20000, lr: float = 1e-3, log=print) -> dict:
+             num_points: int = 20000, lr: float = 1e-3,
+             mixed_train: bool = False, log=print) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -87,9 +88,20 @@ def run_gate(steps: int, bs: int, dtype: str, eval_batches: int = 4,
 
     step_fn = ts.make_train_step(model, cfg)
 
+    # mixed_train: alternate compact-clutter and DEFAULT-extent scenes —
+    # the hard-shift eval measured ZERO survivors for compact-only
+    # training (2026-08-21), so this tests whether exposure to the wide
+    # layout during training closes that boundary. Scene shapes are
+    # identical, so the jitted step is unchanged.
+    wide_scene = SceneConfig(
+        num_points=num_points, analytic_labels=True,
+        emit_label_tensors=False,
+    )
+
     def batches():
         for i in range(steps):
-            yield make_batch(1 + i, bs, scene)
+            sc = wide_scene if (mixed_train and i % 2) else scene
+            yield make_batch(1 + i, bs, sc)
 
     t0 = time.time()
     first_loss = last_loss = None
@@ -174,7 +186,8 @@ def run_gate(steps: int, bs: int, dtype: str, eval_batches: int = 4,
     log(f"oracle_xdist: {json.dumps(oracle_xdist)}")
 
     return {
-        "config": "quality_gate_synthetic",
+        "config": "quality_gate_synthetic"
+                  + ("_mixed_train" if mixed_train else ""),
         "steps": steps,
         "bs": bs,
         "dtype": dtype,
@@ -211,6 +224,8 @@ def main():
     p.add_argument("--num_points", type=int, default=20000)
     p.add_argument("--eval_batches", type=int, default=4)
     p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--mixed_train", action="store_true",
+                   help="alternate compact and default-extent scenes")
     args = p.parse_args()
 
     import jax
@@ -220,7 +235,8 @@ def main():
 
     out = run_gate(args.steps, args.bs, args.dtype,
                    eval_batches=args.eval_batches,
-                   num_points=args.num_points, lr=args.lr)
+                   num_points=args.num_points, lr=args.lr,
+                   mixed_train=args.mixed_train)
     print(json.dumps(out))
 
 
